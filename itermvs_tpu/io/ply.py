@@ -1,0 +1,97 @@
+"""Minimal binary-little-endian PLY point-cloud codec.
+
+Produces the same vertex layout the reference emits via `plyfile`
+(reference: eval.py:296-309): x/y/z float32 + red/green/blue uint8,
+element name `vertex`. No external dependency.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_VERTEX_DTYPE = np.dtype([
+    ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+    ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+])
+
+
+def write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
+    """Write points xyz [N,3] float and colors rgb [N,3] uint8 to a binary PLY."""
+    xyz = np.asarray(xyz, dtype=np.float32)
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if xyz.ndim != 2 or xyz.shape[1] != 3 or rgb.shape != xyz.shape:
+        raise ValueError(f"bad point-cloud shapes xyz={xyz.shape} rgb={rgb.shape}")
+    n = xyz.shape[0]
+    vertices = np.empty(n, dtype=_VERTEX_DTYPE)
+    vertices["x"], vertices["y"], vertices["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    vertices["red"], vertices["green"], vertices["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+
+    header = (
+        "ply\n"
+        "format binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\n"
+        "property float y\n"
+        "property float z\n"
+        "property uchar red\n"
+        "property uchar green\n"
+        "property uchar blue\n"
+        "end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        vertices.tofile(f)
+
+
+def read_ply(path: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """Read a PLY point cloud; returns (xyz [N,3] f32, rgb [N,3] u8 or None).
+
+    Supports binary_little_endian and ascii with float32/float64 x/y/z and
+    optional uchar red/green/blue — enough for our own output and for DTU
+    ground-truth clouds.
+    """
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        n = None
+        props: list[tuple[str, str]] = []
+        in_vertex = False
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: truncated header")
+            tokens = line.decode("ascii", "replace").strip().split()
+            if not tokens:
+                continue
+            if tokens[0] == "format":
+                fmt = tokens[1]
+            elif tokens[0] == "element":
+                in_vertex = tokens[1] == "vertex"
+                if in_vertex:
+                    n = int(tokens[2])
+            elif tokens[0] == "property" and in_vertex:
+                props.append((tokens[1], tokens[2]))
+            elif tokens[0] == "end_header":
+                break
+
+        if n is None:
+            raise ValueError(f"{path}: no vertex element")
+        type_map = {
+            "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+            "uchar": "u1", "uint8": "u1", "int": "<i4", "int32": "<i4",
+            "uint": "<u4", "short": "<i2", "ushort": "<u2",
+        }
+        dtype = np.dtype([(name, type_map[t]) for t, name in props])
+        if fmt == "binary_little_endian":
+            data = np.fromfile(f, dtype=dtype, count=n)
+        elif fmt == "ascii":
+            data = np.loadtxt(f, dtype=dtype, max_rows=n)
+        else:
+            raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+    xyz = np.stack([data["x"], data["y"], data["z"]], axis=1).astype(np.float32)
+    if all(c in dtype.names for c in ("red", "green", "blue")):
+        rgb = np.stack([data["red"], data["green"], data["blue"]], axis=1).astype(np.uint8)
+    else:
+        rgb = None
+    return xyz, rgb

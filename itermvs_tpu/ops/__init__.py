@@ -1,0 +1,17 @@
+from itermvs_tpu.ops.depth_range import depth_normalization, depth_unnormalization
+from itermvs_tpu.ops.resize import (
+    resize_bilinear,
+    upsample_bilinear,
+    resize_nearest,
+)
+from itermvs_tpu.ops.grid_sample import grid_sample
+from itermvs_tpu.ops.warping import differentiable_warp, warp_corr
+from itermvs_tpu.ops.upsample import convex_upsample
+
+__all__ = [
+    "depth_normalization", "depth_unnormalization",
+    "resize_bilinear", "upsample_bilinear", "resize_nearest",
+    "grid_sample",
+    "differentiable_warp", "warp_corr",
+    "convex_upsample",
+]

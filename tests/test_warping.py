@@ -1,0 +1,177 @@
+"""Parity tests for grid_sample / warping vs torch and analytic cases."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from itermvs_tpu.ops import grid_sample, differentiable_warp, warp_corr
+from itermvs_tpu.ops.warping import relative_projection
+from itermvs_tpu.ops.depth_range import depth_normalization, depth_unnormalization
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def torch_grid_sample(src_nhwc, grid):
+    """torch reference: bilinear, zeros, align_corners=True."""
+    src = torch.from_numpy(src_nhwc).permute(0, 3, 1, 2)
+    g = torch.from_numpy(grid)
+    out = F.grid_sample(src, g, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)
+    return out.permute(0, 2, 3, 1).numpy()
+
+
+def test_grid_sample_matches_torch_random(rng):
+    src = rng.rand(2, 9, 13, 6).astype(np.float32)
+    grid = (rng.rand(2, 7, 11, 2).astype(np.float32) * 3.0 - 1.5)  # incl. OOB
+    ref = torch_grid_sample(src, grid)
+    got = np.asarray(grid_sample(jnp.asarray(src), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_grid_sample_identity(rng):
+    src = rng.rand(1, 8, 8, 3).astype(np.float32)
+    ys, xs = np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 8), indexing="ij")
+    grid = np.stack([xs, ys], -1)[None].astype(np.float32)
+    got = np.asarray(grid_sample(jnp.asarray(src), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, src, atol=1e-5)
+
+
+def _random_camera(rng, w, h, tz=0.0):
+    K = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]], np.float32)
+    angle = rng.uniform(-0.05, 0.05, 3)
+    cx, cy, cz = np.cos(angle)
+    sx, sy, sz = np.sin(angle)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    R = (Rx @ Ry @ Rz).astype(np.float32)
+    t = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1), tz], np.float32)
+    E = np.eye(4, dtype=np.float32)
+    E[:3, :3] = R
+    E[:3, 3] = t
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :4] = K @ E[:3, :4]
+    return P
+
+
+def torch_differentiable_warping(src_fea, src_proj, ref_proj, depth_samples):
+    """Independent torch re-derivation of the reference warp semantics."""
+    src_fea = torch.from_numpy(src_fea)          # [B, C, H1, W1]
+    src_proj = torch.from_numpy(src_proj)
+    ref_proj = torch.from_numpy(ref_proj)
+    depth = torch.from_numpy(depth_samples)      # [B, N, H, W]
+    b, n, h, w = depth.shape
+    h1, w1 = src_fea.shape[2:]
+    dt = src_fea.dtype
+    proj = src_proj @ torch.inverse(ref_proj)
+    rot, trans = proj[:, :3, :3], proj[:, :3, 3:4]
+    y, x = torch.meshgrid(torch.arange(h, dtype=dt),
+                          torch.arange(w, dtype=dt), indexing="ij")
+    y = y.reshape(-1) * (h1 / h)
+    x = x.reshape(-1) * (w1 / w)
+    xyz = torch.stack([x, y, torch.ones_like(x)])[None].repeat(b, 1, 1)
+    rot_xyz = rot @ xyz
+    pxyz = rot_xyz[:, :, None] * depth.reshape(b, 1, n, h * w) + trans[..., None]
+    valid = pxyz[:, 2:] > 1e-2
+    px = torch.where(valid[:, 0], pxyz[:, 0], torch.tensor(float(w), dtype=dt))
+    py = torch.where(valid[:, 0], pxyz[:, 1], torch.tensor(float(h), dtype=dt))
+    pz = torch.where(valid[:, 0], pxyz[:, 2], torch.tensor(1.0, dtype=dt))
+    gx = (px / pz) / ((w1 - 1) / 2) - 1
+    gy = (py / pz) / ((h1 - 1) / 2) - 1
+    grid = torch.stack([gx, gy], dim=3)          # [B, N, H*W, 2]
+    out = F.grid_sample(src_fea, grid.reshape(b, n * h, w, 2), mode="bilinear",
+                        padding_mode="zeros", align_corners=True)
+    return out.reshape(b, -1, n, h, w).numpy()   # [B, C, N, H, W]
+
+
+def test_warp_matches_torch_rederivation_f64(rng):
+    """Semantic equivalence: in float64 both pipelines must agree ~1e-9."""
+    from jax import enable_x64
+
+    b, c, h1, w1 = 2, 8, 16, 24
+    h, w = 8, 12
+    n = 5
+    src = rng.rand(b, c, h1, w1).astype(np.float64)
+    ref_proj = np.stack([_random_camera(rng, w1, h1) for _ in range(b)]).astype(np.float64)
+    src_proj = np.stack([_random_camera(rng, w1, h1, tz=0.3) for _ in range(b)]).astype(np.float64)
+    depth = rng.uniform(2.0, 10.0, (b, n, h, w)).astype(np.float64)
+
+    ref = torch_differentiable_warping(src, src_proj, ref_proj, depth)
+    with enable_x64():
+        proj = relative_projection(jnp.asarray(src_proj), jnp.asarray(ref_proj))
+        got = np.asarray(differentiable_warp(
+            jnp.asarray(src.transpose(0, 2, 3, 1)), proj, jnp.asarray(depth)))
+    # ours: [B, N, H, W, C]; torch: [B, C, N, H, W]
+    np.testing.assert_allclose(got.transpose(0, 4, 1, 2, 3), ref, atol=1e-9)
+
+
+def test_warp_matches_torch_rederivation_f32(rng):
+    """fp32: agreement within geometry conditioning noise (sub-pixel)."""
+    b, c, h1, w1 = 2, 8, 16, 24
+    h, w = 8, 12
+    n = 5
+    src = rng.rand(b, c, h1, w1).astype(np.float32)
+    ref_proj = np.stack([_random_camera(rng, w1, h1) for _ in range(b)])
+    src_proj = np.stack([_random_camera(rng, w1, h1, tz=0.3) for _ in range(b)])
+    depth = rng.uniform(2.0, 10.0, (b, n, h, w)).astype(np.float32)
+
+    ref = torch_differentiable_warping(src, src_proj, ref_proj, depth)
+    proj = np.asarray(relative_projection(jnp.asarray(src_proj), jnp.asarray(ref_proj)))
+    got = np.asarray(differentiable_warp(
+        jnp.asarray(src.transpose(0, 2, 3, 1)), jnp.asarray(proj), jnp.asarray(depth)))
+    np.testing.assert_allclose(got.transpose(0, 4, 1, 2, 3), ref, atol=5e-2)
+    # and on average far tighter:
+    assert np.abs(got.transpose(0, 4, 1, 2, 3) - ref).mean() < 2e-3
+
+
+def test_warp_identity_projection(rng):
+    """Identity relative projection at matching depth grid = identity warp."""
+    b, h, w, c = 1, 8, 8, 4
+    src = rng.rand(b, h, w, c).astype(np.float32)
+    proj = np.eye(4, dtype=np.float32)[None]
+    depth = np.full((b, 3, h, w), 5.0, np.float32)
+    got = np.asarray(differentiable_warp(jnp.asarray(src), jnp.asarray(proj),
+                                         jnp.asarray(depth)))
+    for i in range(3):
+        np.testing.assert_allclose(got[:, i], src, atol=1e-5)
+
+
+def test_warp_corr_equals_manual_group_mean(rng):
+    b, c, g = 1, 8, 4
+    h = w = h1 = w1 = 8
+    n = 2
+    src = rng.rand(b, h1, w1, c).astype(np.float32)
+    ref_fea = rng.rand(b, h, w, c).astype(np.float32)
+    proj = np.eye(4, dtype=np.float32)[None]
+    depth = rng.uniform(2, 4, (b, n, h, w)).astype(np.float32)
+    warped = np.asarray(differentiable_warp(jnp.asarray(src), jnp.asarray(proj),
+                                            jnp.asarray(depth)))
+    manual = (warped.reshape(b, n, h, w, g, c // g)
+              * ref_fea.reshape(b, 1, h, w, g, c // g)).mean(-1)
+    got = np.asarray(warp_corr(jnp.asarray(src), jnp.asarray(ref_fea),
+                               jnp.asarray(proj), jnp.asarray(depth), g))
+    np.testing.assert_allclose(got, manual, atol=1e-6)
+
+
+def test_warp_gradient_only_through_features(rng):
+    """Grid is stop-gradiented: d(warp)/d(depth) must be zero."""
+    b, h, w, c = 1, 6, 6, 2
+    src = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    proj = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    depth = jnp.asarray(rng.uniform(2, 4, (b, 2, h, w)).astype(np.float32))
+
+    g_depth = jax.grad(lambda d: differentiable_warp(src, proj, d).sum())(depth)
+    np.testing.assert_array_equal(np.asarray(g_depth), 0.0)
+    g_src = jax.grad(lambda s: differentiable_warp(s, proj, depth).sum())(src)
+    assert np.abs(np.asarray(g_src)).sum() > 0
+
+
+def test_depth_normalization_roundtrip(rng):
+    dmin, dmax = 2.0, 10.0
+    idmin, idmax = 1.0 / dmin, 1.0 / dmax
+    d = jnp.asarray(rng.uniform(dmin, dmax, (4, 4)).astype(np.float32))
+    nd = depth_normalization(d, idmin, idmax)
+    back = depth_unnormalization(nd, idmin, idmax)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(d), rtol=1e-4)
+    assert np.all(np.asarray(nd) >= -1e-4) and np.all(np.asarray(nd) <= 1 + 1e-4)
