@@ -1,0 +1,374 @@
+"""IterMVS core: plane-sweep matching + GRU probability iteration.
+
+TPU-native re-design of the reference estimator (models/itermvs.py):
+
+* every map is NHWC; depth-sample stacks are `[B, N, H, W]`;
+* per-source-view Python loops remain *static* unrolls (V is a
+  compile-time constant per dataset config) accumulating a weighted
+  correlation sum, so peak memory stays one view's warp like the
+  reference's sequential loop (itermvs.py:48-65);
+* the GRU iteration count is static and unrolled — XLA sees one flat
+  graph and schedules the 3·(V−1) warps per iteration freely;
+* probability readout (windowed expectation around the argmax,
+  itermvs.py:203-219) uses `take_along_axis` over the 256-bin axis with
+  a stop-gradiented window.
+
+Numerical-semantics notes (all verified in tests/test_model_parity.py
+against the reference run under torch-CPU):
+  - init-branch view weights are bilinearly ×2 upsampled BEFORE reuse
+    (itermvs.py:56-57) and frozen with stop_gradient during iterations
+    (itermvs.py:295);
+  - correlation aggregation divides by (1e-5 + Σ view weights)
+    (itermvs.py:37-38);
+  - hidden state is initialized from the 32-channel level-3 CorrNet
+    score volume, ×2 upsampled then tanh'd (itermvs.py:159-164).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from itermvs_tpu.models.blocks import Conv, ConvGRU, ConvReLU, ConvTranspose
+from itermvs_tpu.ops.depth_range import depth_unnormalization
+from itermvs_tpu.ops.resize import resize_bilinear, upsample_bilinear
+from itermvs_tpu.ops.warping import warp_corr
+
+NUM_BINS = 256          # output probability bins over normalized inverse depth
+RADIUS = 4              # windowed-expectation half width
+NUM_INIT_SAMPLES = 32   # initialization sweep samples
+GROUPS = 8              # correlation groups
+INTERVAL_SCALE = 1.0 / 256.0
+
+# Per-level sampling offsets in normalized-inverse-depth units
+# (reference itermvs.py:231-235), scaled by INTERVAL_SCALE at use site.
+CORR_INTERVALS = {
+    "level1": (-2.0, -2.0 / 3.0, 2.0 / 3.0, 2.0),
+    "level2": (-8.0, -8.0 / 3.0, 8.0 / 3.0, 8.0),
+    "level3": (-32.0, 32.0),
+}
+
+
+def initial_depth_samples(inverse_depth_min, inverse_depth_max, height, width,
+                          num_sample: int = NUM_INIT_SAMPLES):
+    """Uniform inverse-depth sweep `[B, num_sample, H, W]` (itermvs.py:6-19)."""
+    batch = inverse_depth_min.shape[0]
+    idmin = inverse_depth_min.reshape(batch, 1, 1, 1)
+    idmax = inverse_depth_max.reshape(batch, 1, 1, 1)
+    frac = jnp.arange(num_sample, dtype=jnp.float32).reshape(1, num_sample, 1, 1) / (
+        num_sample - 1
+    )
+    inv = idmax + frac * (idmin - idmax)
+    return jnp.broadcast_to(1.0 / inv, (batch, num_sample, height, width))
+
+
+def windowed_expectation(probability: jnp.ndarray) -> jnp.ndarray:
+    """Normalized depth from a [B, H, W, NUM_BINS] distribution.
+
+    Expectation over the ±RADIUS window around the (stop-gradiented)
+    argmax bin, normalized by the window's probability mass.
+    """
+    index = jnp.argmax(probability, axis=-1)                  # [B, H, W]
+    index = jax.lax.stop_gradient(index)
+    offsets = jnp.arange(2 * RADIUS + 1, dtype=jnp.int32) - RADIUS
+    window = jnp.clip(index[..., None] + offsets, 0, NUM_BINS - 1)  # [B,H,W,9]
+    p = jnp.take_along_axis(probability, window, axis=-1)
+    regress = jnp.sum(window.astype(probability.dtype) * p, axis=-1) / (
+        1e-6 + jnp.sum(p, axis=-1)
+    )
+    return (regress / (NUM_BINS - 1.0))[..., None]            # [B, H, W, 1]
+
+
+class PixelViewWeight(nn.Module):
+    """Per-pixel source-view weight (reference itermvs.py:333-350)."""
+
+    @nn.compact
+    def __call__(self, corr):
+        """corr: [B, N, H, W, G] → weight [B, H, W, 1]."""
+        b, n, h, w, g = corr.shape
+        x = corr.reshape(b * n, h, w, g)
+        x = ConvReLU(16, name="conv0")(x)
+        x = Conv(1, 1, pad=0, name="conv1")(x)
+        x = x.reshape(b, n, h, w)
+        x = jax.nn.softmax(x, axis=1)
+        return jnp.max(x, axis=1)[..., None]
+
+
+class CorrNet(nn.Module):
+    """Per-depth-slice 2D encoder-decoder on correlation (itermvs.py:352-381)."""
+
+    @nn.compact
+    def __call__(self, corr):
+        """corr: [B, N, H, W, G] → score volume [B, N, H, W]."""
+        b, n, h, w, g = corr.shape
+        x = corr.reshape(b * n, h, w, g)
+        conv0 = ConvReLU(8, name="conv0")(x)
+        conv1 = ConvReLU(16, stride=2, name="conv1")(conv0)
+        x = ConvReLU(32, stride=2, name="conv2")(conv1)
+        x = conv1 + ConvTranspose(16, name="conv3")(x)
+        x = conv0 + ConvTranspose(8, name="conv4")(x)
+        x = Conv(1, 3, name="conv5")(x)
+        return x.reshape(b, n, h, w)
+
+
+class Evaluation(nn.Module):
+    """Plane-sweep matching: warp + group corr + view-weighted aggregation."""
+
+    def setup(self):
+        self.pixel_view_weight = PixelViewWeight(name="pixel_view_weight")
+        self.corr_net1 = CorrNet(name="corr_net1")
+        self.corr_net2 = CorrNet(name="corr_net2")
+        self.corr_net3 = CorrNet(name="corr_net3")
+
+    def _corr_net(self, level: int) -> CorrNet:
+        return (self.corr_net1, self.corr_net2, self.corr_net3)[level - 1]
+
+    def init_sweep(self, ref_feature, src_features, rel_projs, depth_samples,
+                   inverse_depth_min, inverse_depth_max):
+        """Initialization branch on level 3 (reference itermvs.py:36-82).
+
+        Args:
+          ref_feature: [B, H8, W8, 48] level-3 reference feature.
+          src_features: [B, V−1, H8, W8, 48].
+          rel_projs: [B, V−1, 4, 4] level-3 relative projections.
+          depth_samples: [B, 32, H8, W8].
+
+        Returns:
+          view_weights [B, V−1, H4, W4, 1] (×2 upsampled),
+          score volume [B, H8, W8, 32] (CorrNet output, channels-last),
+          initial depth [B, H4, W4, 1] (×2 upsampled expectation).
+        """
+        num_views = src_features.shape[1]
+        num_sample = depth_samples.shape[1]
+
+        corr_sum = 0.0
+        weight_sum = 1e-5
+        view_weights = []
+        for v in range(num_views):
+            corr = warp_corr(src_features[:, v], ref_feature, rel_projs[:, v],
+                             depth_samples, GROUPS)          # [B,N,H,W,G]
+            weight = self.pixel_view_weight(corr)            # [B,H,W,1]
+            view_weights.append(upsample_bilinear(weight, 2))
+            corr_sum = corr_sum + corr * weight[:, None]
+            weight_sum = weight_sum + weight[:, None]
+        correlation = corr_sum / weight_sum                  # [B,N,H,W,G]
+
+        score = self._corr_net(3)(correlation)               # [B,N,H,W]
+        view_weights = jnp.stack(view_weights, axis=1)       # [B,V-1,H4,W4,1]
+
+        probability = jax.nn.softmax(score, axis=1)
+        index = jnp.arange(num_sample, dtype=jnp.float32).reshape(1, num_sample, 1, 1)
+        expectation = jnp.sum(index * probability, axis=1)   # [B,H,W]
+        normalized_depth = (expectation / (num_sample - 1.0))[..., None]
+        depth = depth_unnormalization(
+            normalized_depth,
+            inverse_depth_min.reshape(-1, 1, 1, 1),
+            inverse_depth_max.reshape(-1, 1, 1, 1),
+        )
+        depth = upsample_bilinear(depth, 2)                  # [B,H4,W4,1]
+        score_nhwc = score.transpose(0, 2, 3, 1)             # [B,H8,W8,N]
+        return view_weights, score_nhwc, depth
+
+    def iter_sweep(self, ref_features, src_features, rel_projs, depth_samples,
+                   view_weights):
+        """Iteration branch over levels 1..3 (reference itermvs.py:84-126).
+
+        Args:
+          ref_features / src_features / rel_projs: dicts keyed level1..3;
+            src features [B, V−1, Hl, Wl, Cl], projs [B, V−1, 4, 4].
+          depth_samples: dict level1..3 of [B, Nl, H4, W4].
+          view_weights: [B, V−1, H4, W4, 1], frozen.
+
+        Returns correlation [B, H4, W4, 10] (4+4+2 level channels).
+        """
+        view_weights = jax.lax.stop_gradient(view_weights)
+        num_views = view_weights.shape[1]
+        correlations = []
+        for level in (1, 2, 3):
+            key = f"level{level}"
+            ref = ref_features[key]
+            samples = depth_samples[key]
+            h4, w4 = samples.shape[2], samples.shape[3]
+            if level != 2:
+                ref = resize_bilinear(ref, (h4, w4))
+            corr_sum = 0.0
+            weight_sum = 1e-5
+            for v in range(num_views):
+                corr = warp_corr(src_features[key][:, v], ref,
+                                 rel_projs[key][:, v], samples, GROUPS)
+                weight = view_weights[:, v][:, None]          # [B,1,H,W,1]
+                corr_sum = corr_sum + corr * weight
+                weight_sum = weight_sum + weight
+            score = self._corr_net(level)(corr_sum / weight_sum)  # [B,Nl,H,W]
+            correlations.append(score)
+        out = jnp.concatenate(correlations, axis=1)           # [B,10,H4,W4]
+        return out.transpose(0, 2, 3, 1)                      # [B,H4,W4,10]
+
+
+class Update(nn.Module):
+    """ConvGRU + depth/confidence heads (reference itermvs.py:129-220)."""
+    hidden_dim: int = 32
+
+    def setup(self):
+        self.gru = ConvGRU(self.hidden_dim, name="gru")
+        self.depth_conv0 = Conv(32, 3, pad=2, dilation=2, use_bias=False,
+                                name="depth_conv0")
+        self.depth_conv1 = Conv(64, 1, pad=0, use_bias=False, name="depth_conv1")
+        self.depth_conv2 = Conv(NUM_BINS, 1, pad=0, name="depth_conv2")
+        self.conf_conv0 = Conv(32, 3, pad=2, dilation=2, use_bias=False,
+                               name="conf_conv0")
+        self.conf_conv1 = Conv(1, 1, pad=0, name="conf_conv1")
+        self.hidden_conv0 = Conv(64, 3, use_bias=False, name="hidden_conv0")
+        self.hidden_conv1 = Conv(self.hidden_dim, 1, pad=0, name="hidden_conv1")
+
+    def _depth_head(self, hidden):
+        x = nn.relu(self.depth_conv0(hidden))
+        x = nn.relu(self.depth_conv1(x))
+        return self.depth_conv2(x)                           # [B,H,W,256] logits
+
+    def _confidence_head(self, hidden):
+        x = nn.relu(self.conf_conv0(hidden))
+        return self.conf_conv1(x)                            # [B,H,W,1] logits
+
+    def hidden_init(self, score_volume):
+        """[B, H8, W8, 32] level-3 score volume → hidden [B, H4, W4, hidden]."""
+        x = nn.relu(self.hidden_conv0(score_volume))
+        x = self.hidden_conv1(x)
+        x = upsample_bilinear(x, 2)
+        return nn.tanh(x)
+
+    def conf_init(self, hidden):
+        logits = self._confidence_head(hidden)
+        return nn.sigmoid(logits), logits
+
+    def depth_init(self, hidden):
+        probability = jax.nn.softmax(self._depth_head(hidden), axis=-1)
+        return windowed_expectation(probability), probability
+
+    def __call__(self, hidden, normalized_depth, corr, confidence_flag=False):
+        """One GRU step. corr: [B, H, W, 10]; normalized_depth [B, H, W, 1]."""
+        x = jnp.concatenate([normalized_depth, corr], axis=-1)
+        hidden = self.gru(hidden, x)
+        confidence = confidence_logits = None
+        if confidence_flag:
+            confidence_logits = self._confidence_head(hidden)
+            confidence = nn.sigmoid(confidence_logits)
+        probability = jax.nn.softmax(self._depth_head(hidden), axis=-1)
+        normalized_depth = windowed_expectation(probability)
+        return hidden, normalized_depth, probability, confidence, confidence_logits
+
+
+class IterMVS(nn.Module):
+    """Full estimator: init sweep → hidden/depth init → GRU iterations.
+
+    Mirrors reference itermvs.py:223-329 control flow; `test=True`
+    computes heads only where the reference does.
+    """
+    iteration: int = 4
+    hidden_dim: int = 32
+    test: bool = False
+
+    def setup(self):
+        self.evaluation = Evaluation(name="evaluation")
+        self.update = Update(self.hidden_dim, name="update")
+        self.upsample_conv0 = Conv(64, 3, use_bias=False, name="upsample_conv0")
+        self.upsample_conv1 = Conv(16 * 9, 1, pad=0, use_bias=False,
+                                   name="upsample_conv1")
+
+    def _upsample_weights(self, ref_level2):
+        """Convex-upsample tap weights [B, H4, W4, 9, 4, 4] (itermvs.py:246-250)."""
+        b, h, w, _ = ref_level2.shape
+        x = nn.relu(self.upsample_conv0(ref_level2))
+        x = self.upsample_conv1(x)                           # [B,H,W,144]
+        x = x.reshape(b, h, w, 9, 4, 4)
+        return jax.nn.softmax(x, axis=3)
+
+    def __call__(self, ref_features, src_features, rel_projs, depth_min, depth_max):
+        """Args:
+          ref_features: dict level1..3 NHWC maps for the reference view.
+          src_features: dict level1..3 [B, V−1, Hl, Wl, Cl].
+          rel_projs: dict level1..3 [B, V−1, 4, 4] (src @ inv(ref)).
+          depth_min, depth_max: [B].
+
+        Returns (train): dict with per-iteration lists; (test): final
+        depth, upsampled depth, confidence, upsampled confidence.
+        """
+        batch, h4, w4, _ = ref_features["level2"].shape
+        idmin = (1.0 / depth_min).reshape(batch)
+        idmax = (1.0 / depth_max).reshape(batch)
+        idmin_b = idmin.reshape(batch, 1, 1, 1)
+        idmax_b = idmax.reshape(batch, 1, 1, 1)
+
+        upsample_weights = self._upsample_weights(ref_features["level2"])
+
+        depth_samples = initial_depth_samples(idmin, idmax, h4 // 2, w4 // 2)
+        view_weights, score_volume, init_depth = self.evaluation.init_sweep(
+            ref_features["level3"], src_features["level3"], rel_projs["level3"],
+            depth_samples, idmin, idmax)
+
+        hidden = self.update.hidden_init(score_volume)
+        normalized_depth, probability = self.update.depth_init(hidden)
+
+        depths: dict[str, list[Any]] = {"combine": [], "probability": [], "initial": []}
+        confidences = []
+        depth = depth_upsampled = confidence = confidence_upsampled = None
+
+        if not self.test:
+            depths["initial"].append(init_depth)
+            confidence, confidence_logits = self.update.conf_init(hidden)
+            depths["combine"].append(
+                depth_unnormalization(normalized_depth, idmin_b, idmax_b))
+            depths["probability"].append(probability)
+            confidences.append(confidence_logits)
+            normalized_depth = jax.lax.stop_gradient(normalized_depth)
+
+        # Per-level sample offsets, fixed: [1, Nl, 1, 1].
+        intervals = {
+            key: jnp.asarray(vals, jnp.float32).reshape(1, -1, 1, 1) * INTERVAL_SCALE
+            for key, vals in CORR_INTERVALS.items()
+        }
+
+        for it in range(self.iteration):
+            samples = {}
+            nd = normalized_depth[..., 0][:, None]           # [B,1,H4,W4]
+            for key, offs in intervals.items():
+                s = jnp.clip(nd + offs, 0.0, 1.0)
+                samples[key] = depth_unnormalization(s, idmin_b, idmax_b)
+
+            corr = self.evaluation.iter_sweep(
+                ref_features, src_features, rel_projs, samples, view_weights)
+
+            if not self.test:
+                hidden, normalized_depth, probability, confidence, confidence_logits = (
+                    self.update(hidden, normalized_depth, corr, confidence_flag=True))
+                depths["combine"].append(
+                    depth_unnormalization(normalized_depth, idmin_b, idmax_b))
+                depths["probability"].append(probability)
+                confidences.append(confidence_logits)
+                if it == self.iteration - 1:
+                    up = convex_up(normalized_depth, upsample_weights)
+                    depth_upsampled = depth_unnormalization(up, idmin_b, idmax_b)
+                    confidence_upsampled = upsample_bilinear(confidence, 4)
+                normalized_depth = jax.lax.stop_gradient(normalized_depth)
+            else:
+                if it < self.iteration - 1:
+                    hidden, normalized_depth, _, _, _ = self.update(
+                        hidden, normalized_depth, corr, confidence_flag=False)
+                else:
+                    depth = depth_unnormalization(normalized_depth, idmin_b, idmax_b)
+                    hidden, normalized_depth, _, confidence, _ = self.update(
+                        hidden, normalized_depth, corr, confidence_flag=True)
+                    up = convex_up(normalized_depth, upsample_weights)
+                    depth_upsampled = depth_unnormalization(up, idmin_b, idmax_b)
+                    confidence_upsampled = upsample_bilinear(confidence, 4)
+
+        if self.test:
+            return depth, depth_upsampled, confidence, confidence_upsampled
+        return depths, [depth_upsampled], confidences, confidence_upsampled
+
+
+def convex_up(normalized_depth, weights):
+    from itermvs_tpu.ops.upsample import convex_upsample
+    return convex_upsample(normalized_depth, weights, scale=4)

@@ -1,0 +1,75 @@
+"""Top-level model: FeatureNet → IterMVS (reference: models/net.py:68-128).
+
+The pipeline consumes the dataset sample layout:
+  imgs:           dict level_0..level_3, NHWC per view → [B, V, H, W, 3]
+  proj_matrices:  dict level_0..level_3 → [B, V, 4, 4]
+  depth_min/max:  [B]
+
+TPU-native differences from the reference:
+  * views fold into the batch axis for feature extraction in BOTH train
+    and test mode (the reference loops per view at test time purely to
+    cap GPU memory, net.py:52-65; on TPU the folded batch keeps the MXU
+    fed and XLA handles scheduling);
+  * relative projections `src @ inv(ref)` are computed once per level
+    with a structured analytic inverse (ops/warping.py) instead of a
+    per-warp 4×4 LU inverse.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from itermvs_tpu.models.feature_net import FeatureNet
+from itermvs_tpu.models.itermvs import IterMVS
+from itermvs_tpu.ops.warping import relative_projection
+
+
+class Pipeline(nn.Module):
+    iteration: int = 4
+    test: bool = False
+
+    def setup(self):
+        self.feature_net = FeatureNet(name="feature_net")
+        self.iter_mvs = IterMVS(iteration=self.iteration, test=self.test,
+                                name="iter_mvs")
+
+    def __call__(self, imgs, proj_matrices, depth_min, depth_max,
+                 train: bool = False):
+        x = imgs["level_0"].astype(jnp.float32)       # [B, V, H, W, 3]
+        b, v, h, w, c = x.shape
+        features = self.feature_net(x.reshape(b * v, h, w, c), train)
+
+        ref_features = {}
+        src_features = {}
+        for level in (1, 2, 3):
+            fea = features[f"level{level}"]
+            fea = fea.reshape(b, v, *fea.shape[1:])
+            ref_features[f"level{level}"] = fea[:, 0]
+            src_features[f"level{level}"] = fea[:, 1:]
+
+        rel_projs = {}
+        for level in (1, 2, 3):
+            proj = proj_matrices[f"level_{level}"].astype(jnp.float32)  # [B,V,4,4]
+            rel = relative_projection(proj[:, 1:], proj[:, 0:1])        # [B,V-1,4,4]
+            rel_projs[f"level{level}"] = rel
+
+        depth_min = depth_min.astype(jnp.float32).reshape(b)
+        depth_max = depth_max.astype(jnp.float32).reshape(b)
+
+        out = self.iter_mvs(ref_features, src_features, rel_projs,
+                            depth_min, depth_max)
+        if self.test:
+            depth, depth_upsampled, confidence, confidence_upsampled = out
+            return {
+                "depth": depth,
+                "depths_upsampled": depth_upsampled,
+                "confidence": confidence,
+                "confidence_upsampled": confidence_upsampled,
+            }
+        depths, depths_upsampled, confidences, confidence_upsampled = out
+        return {
+            "depths": depths,
+            "depths_upsampled": depths_upsampled,
+            "confidences": confidences,
+            "confidence_upsampled": confidence_upsampled,
+        }

@@ -54,7 +54,9 @@ def _projection_grid(proj: jnp.ndarray, depth_samples: jnp.ndarray,
     ones = jnp.ones_like(grid_x)
     xyz = jnp.stack([grid_x, grid_y, ones], axis=-1).reshape(1, h * w, 3)
 
-    rot_xyz = jnp.einsum("bij,bpj->bpi", rot, xyz)                # [B, H*W, 3]
+    # HIGHEST precision: projective coordinates must not round to bf16
+    # on the MXU — sub-pixel grid errors cost mm-level depth accuracy.
+    rot_xyz = jnp.einsum("bij,bpj->bpi", rot, xyz, precision="highest")  # [B, H*W, 3]
     # [B, N, H*W, 3] = ray direction × depth + translation
     proj_xyz = (
         rot_xyz[:, None, :, :] * depth_samples.reshape(b, n, h * w, 1)
@@ -146,7 +148,7 @@ def invert_projection(proj: jnp.ndarray) -> jnp.ndarray:
     ], axis=-2)
     m_inv = adj / det[..., None, None]
 
-    t_inv = -jnp.einsum("...ij,...j->...i", m_inv, t)
+    t_inv = -jnp.einsum("...ij,...j->...i", m_inv, t, precision="highest")
     top = jnp.concatenate([m_inv, t_inv[..., None]], axis=-1)       # [..., 3, 4]
     bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
     return jnp.concatenate([top, bottom], axis=-2)
