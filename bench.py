@@ -1,0 +1,69 @@
+"""Benchmark: DTU depth-map inference throughput per chip.
+
+Measures test-mode Pipeline throughput (depth maps/sec) at the paper's
+DTU eval resolution 1152×864 with N=5 views, iteration=4, on the
+default JAX device. Weights: the released DTU checkpoint when the
+reference mount is present, else random init (throughput-identical).
+
+Baseline: the IterMVS paper (arXiv 2112.05126, Tab. 4) reports 0.17 s
+per view at 1152×864 on an RTX 2080Ti — 5.88 maps/sec. `vs_baseline`
+is our maps/sec divided by that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_MAPS_PER_SEC = 1.0 / 0.17
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from itermvs_tpu.models import Pipeline
+    from __graft_entry__ import _example_inputs
+
+    width, height, views = 1152, 864, 5
+    imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
+
+    model = Pipeline(iteration=4, test=True)
+    ckpt = "/root/reference/checkpoints/dtu/model_000015.ckpt"
+    if os.path.exists(ckpt):
+        from itermvs_tpu.engine.torch_import import import_torch_checkpoint
+
+        variables = import_torch_checkpoint(ckpt)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
+
+    @jax.jit
+    def forward(imgs, projs, dmin, dmax):
+        out = model.apply(variables, imgs, projs, dmin, dmax)
+        return out["depths_upsampled"], out["confidence_upsampled"]
+
+    # Warmup / compile.
+    d, c = forward(imgs, projs, dmin, dmax)
+    jax.block_until_ready((d, c))
+
+    iters = 12
+    start = time.perf_counter()
+    for _ in range(iters):
+        d, c = forward(imgs, projs, dmin, dmax)
+    jax.block_until_ready((d, c))
+    elapsed = time.perf_counter() - start
+    maps_per_sec = iters / elapsed
+
+    print(json.dumps({
+        "metric": "DTU depth maps/sec/chip (1152x864, N=5, iter=4)",
+        "value": round(maps_per_sec, 3),
+        "unit": "maps/sec",
+        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

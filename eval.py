@@ -1,0 +1,161 @@
+"""Predict depth, filter, and fuse — CLI-compatible with the reference eval.py.
+
+Depth estimation runs as one jitted test-mode forward per batch on TPU;
+depth/confidence maps stream to PFM files (the same on-disk seam the
+reference uses, eval.py:141-151), then fusion (itermvs_tpu.fusion) runs
+per scan with the reference's per-dataset thresholds (eval.py:312-419).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from itermvs_tpu.data import find_dataset_def
+from itermvs_tpu.data.loader import DataLoader
+from itermvs_tpu.engine.checkpoint import load_variables
+from itermvs_tpu.fusion import filter_depth
+from itermvs_tpu.io import save_pfm
+from itermvs_tpu.models import Pipeline
+
+parser = argparse.ArgumentParser(description="Predict depth, filter, and fuse")
+parser.add_argument("--model", default="IterMVS", help="select model")
+parser.add_argument("--dataset", default="dtu_yao_eval", help="select dataset")
+parser.add_argument("--testpath", help="testing data path")
+parser.add_argument("--testlist", help="testing scan list")
+parser.add_argument("--split", default="intermediate", help="select data")
+parser.add_argument("--batch_size", type=int, default=1, help="testing batch size")
+parser.add_argument("--n_views", type=int, default=5, help="num of view")
+parser.add_argument("--img_wh", nargs="+", type=int, default=[640, 480],
+                    help="height and width of the image")
+parser.add_argument("--loadckpt", default=None, help="load a specific checkpoint")
+parser.add_argument("--outdir", default="./outputs", help="output dir")
+parser.add_argument("--display", action="store_true", help="display depth images and masks")
+parser.add_argument("--iteration", type=int, default=4, help="num of iteration of GRU")
+parser.add_argument("--geo_pixel_thres", type=float, default=1,
+                    help="pixel threshold for geometric consistency filtering")
+parser.add_argument("--geo_depth_thres", type=float, default=0.01,
+                    help="depth threshold for geometric consistency filtering")
+parser.add_argument("--photo_thres", type=float, default=0.3,
+                    help="threshold for photometric consistency filtering")
+
+TANKS_INTERMEDIATE_THRES = {"Family": 5, "Francis": 6, "Horse": 5, "Lighthouse": 6,
+                            "M60": 5, "Panther": 5, "Playground": 5, "Train": 5}
+TANKS_ADVANCED_THRES = {"Auditorium": 3, "Ballroom": 4, "Courtroom": 4,
+                        "Museum": 4, "Palace": 5, "Temple": 4}
+ETH3D_TEST_THRES = {"botanical_garden": 1, "boulders": 1, "bridge": 2, "door": 2,
+                    "exhibition_hall": 2, "lecture_room": 2, "living_room": 2,
+                    "lounge": 1, "observatory": 2, "old_computer": 2, "statue": 2,
+                    "terrace_2": 2}
+ETH3D_TRAIN_THRES = {"courtyard": 1, "delivery_area": 2, "electro": 1, "facade": 2,
+                     "kicker": 1, "meadow": 1, "office": 1, "pipes": 1,
+                     "playground": 1, "relief": 1, "relief_2": 1, "terrace": 1,
+                     "terrains": 2}
+
+
+def resolve_img_wh(args):
+    if args.dataset == "dtu_yao_eval":
+        return (1600, 1152)
+    if args.dataset == "tanks":
+        return (1920, 1024)
+    if args.dataset == "eth3d":
+        return (1920, 1280)
+    return (args.img_wh[0], args.img_wh[1])
+
+
+def build_dataset(args, img_wh):
+    MVSDataset = find_dataset_def(args.dataset)
+    if args.dataset == "dtu_yao_eval":
+        return MVSDataset(args.testpath, args.testlist, args.n_views, img_wh)
+    if args.dataset == "tanks":
+        return MVSDataset(args.testpath, args.n_views, img_wh, args.split)
+    if args.dataset == "eth3d":
+        return MVSDataset(args.testpath, args.split, args.n_views, img_wh)
+    return MVSDataset(args.testpath, args.n_views, img_wh)
+
+
+def save_depth(args, img_wh):
+    dataset = build_dataset(args, img_wh)
+    loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=4,
+                        drop_last=False)
+
+    model = Pipeline(iteration=args.iteration, test=True)
+    print(f"loading model {args.loadckpt}")
+    variables = load_variables(args.loadckpt)
+
+    @jax.jit
+    def forward(imgs, projs, dmin, dmax):
+        out = model.apply(variables, imgs, projs, dmin, dmax)
+        return out["depths_upsampled"], out["confidence_upsampled"]
+
+    total = len(loader)
+    for batch_idx, sample in enumerate(loader):
+        start = time.time()
+        depths, confs = forward(
+            {k: jnp.asarray(v) for k, v in sample["imgs"].items()},
+            {k: jnp.asarray(v) for k, v in sample["proj_matrices"].items()},
+            jnp.asarray(sample["depth_min"]), jnp.asarray(sample["depth_max"]))
+        depths = np.asarray(depths)[..., 0]
+        confs = np.asarray(confs)[..., 0]
+        print(f"Iter {batch_idx}/{total}, time = {time.time() - start:.3f}")
+
+        for filename, depth_est, confidence in zip(sample["filename"], depths, confs):
+            depth_path = os.path.join(args.outdir, filename.format("depth_est", ".pfm"))
+            conf_path = os.path.join(args.outdir, filename.format("confidence", ".pfm"))
+            os.makedirs(os.path.dirname(depth_path), exist_ok=True)
+            os.makedirs(os.path.dirname(conf_path), exist_ok=True)
+            save_pfm(depth_path, depth_est.astype(np.float32))
+            save_pfm(conf_path, confidence.astype(np.float32))
+
+
+def run_fusion(args, img_wh):
+    if args.dataset == "dtu_yao_eval":
+        with open(args.testlist) as f:
+            scans = [line.rstrip() for line in f if line.strip()]
+        for scan in scans:
+            scan_id = int(scan[4:])
+            filter_depth(os.path.join(args.testpath, scan),
+                         os.path.join(args.outdir, scan),
+                         os.path.join(args.outdir, f"itermvs{scan_id:0>3}_l3.ply"),
+                         args.geo_pixel_thres, args.geo_depth_thres,
+                         args.photo_thres, img_wh, 4)
+    elif args.dataset == "tanks":
+        thres = (TANKS_INTERMEDIATE_THRES if args.split == "intermediate"
+                 else TANKS_ADVANCED_THRES)
+        for scan, gm in thres.items():
+            filter_depth(os.path.join(args.testpath, args.split, scan),
+                         os.path.join(args.outdir, scan),
+                         os.path.join(args.outdir, scan + ".ply"),
+                         args.geo_pixel_thres, args.geo_depth_thres,
+                         args.photo_thres, img_wh, gm)
+    elif args.dataset == "eth3d":
+        thres = ETH3D_TEST_THRES if args.split == "test" else ETH3D_TRAIN_THRES
+        for scan, gm in thres.items():
+            start = time.time()
+            filter_depth(os.path.join(args.testpath, scan),
+                         os.path.join(args.outdir, scan),
+                         os.path.join(args.outdir, scan + ".ply"),
+                         args.geo_pixel_thres, args.geo_depth_thres,
+                         args.photo_thres, img_wh, gm)
+            print(f"scan: {scan} time = {time.time() - start:3f}")
+    else:
+        filter_depth(args.testpath, args.outdir,
+                     os.path.join(args.outdir, "custom.ply"),
+                     args.geo_pixel_thres, args.geo_depth_thres,
+                     args.photo_thres, img_wh, geo_mask_thres=3)
+
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    print("argv:", sys.argv[1:])
+    for k, v in sorted(vars(args).items()):
+        print(f"{k}: {v}")
+    img_wh = resolve_img_wh(args)
+    save_depth(args, img_wh)
+    run_fusion(args, img_wh)

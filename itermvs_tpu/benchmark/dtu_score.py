@@ -1,0 +1,141 @@
+"""DTU accuracy/completeness scorer — Python port of the MATLAB protocol.
+
+Replaces the reference's evaluations/dtu/*.m pipeline
+(BaseEvalMain_web.m / PointCompareMain.m / MaxDistCP.m / reducePts_haa.m):
+
+  1. downsample the fused cloud to ~0.2 mm density (voxel-hash variant
+     of reducePts_haa.m:1-35);
+  2. accuracy  = mean point→GT-STL nearest-neighbor distance over data
+     points (within the observability mask when ObsMask*.mat is given),
+     outliers > 20 mm dropped (BaseEvalMain_web.m:63-69);
+  3. completeness = mean GT→data distance over STL points (above the
+     ground plane when Plane*.mat is given), same outlier cutoff;
+  4. overall = (acc + comp) / 2 (BaseEvalMain_web.m:99-100).
+
+NN queries use scipy cKDTree in chunks (the MATLAB code chunks KD-trees
+the same way, MaxDistCP.m:1-50).
+
+CLI:
+    python -m itermvs_tpu.benchmark.dtu_score \
+        --data outputs/itermvs001_l3.ply --gt Points/stl/stl001_total.ply \
+        [--obs_mask ObsMask1_10.mat] [--plane Plane1.mat]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+MAX_DIST = 20.0    # outlier cutoff, mm
+DENSITY = 0.2      # downsample grid, mm
+
+
+def reduce_points(pts: np.ndarray, dst: float = DENSITY, seed: int = 0) -> np.ndarray:
+    """Voxel-hash downsample: ≤1 point per dst-sized voxel (random pick)."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(pts.shape[0])
+    pts = pts[order]
+    keys = np.floor(pts / dst).astype(np.int64)
+    # Unique voxel → first (random because permuted) point.
+    _, idx = np.unique(keys, axis=0, return_index=True)
+    return pts[idx]
+
+
+def nn_distances(src: np.ndarray, dst: np.ndarray, chunk: int = 200_000) -> np.ndarray:
+    """Nearest-neighbor distance from each src point to the dst cloud."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(dst)
+    out = np.empty(src.shape[0], np.float64)
+    for start in range(0, src.shape[0], chunk):
+        d, _ = tree.query(src[start:start + chunk], k=1, workers=-1)
+        out[start:start + chunk] = d
+    return out
+
+
+def load_obs_mask(path: str):
+    """ObsMask{scan}_10.mat → (BB [2,3], Res scalar, ObsMask 3D bool)."""
+    from scipy.io import loadmat
+
+    m = loadmat(path)
+    return m["BB"].astype(np.float64), float(np.squeeze(m["Res"])), m["ObsMask"]
+
+
+def load_plane(path: str) -> np.ndarray:
+    from scipy.io import loadmat
+
+    return np.squeeze(loadmat(path)["P"]).astype(np.float64)
+
+
+def apply_obs_mask(pts: np.ndarray, bb: np.ndarray, res: float,
+                   obs_mask: np.ndarray) -> np.ndarray:
+    """Keep points whose voxel (after BB/Res transform) is observable."""
+    idx = np.floor((pts - bb[0:1]) / res).astype(np.int64)
+    shape = np.asarray(obs_mask.shape)
+    inside = np.all((idx >= 0) & (idx < shape), axis=1)
+    keep = np.zeros(pts.shape[0], bool)
+    ii = idx[inside]
+    keep[inside] = obs_mask[ii[:, 0], ii[:, 1], ii[:, 2]] > 0
+    return keep
+
+
+def score(data_ply: str, gt_ply: str, obs_mask_path: str | None = None,
+          plane_path: str | None = None, density: float = DENSITY,
+          max_dist: float = MAX_DIST) -> dict:
+    from itermvs_tpu.io import read_ply
+
+    data_pts, _ = read_ply(data_ply)
+    gt_pts, _ = read_ply(gt_ply)
+    data_pts = reduce_points(data_pts.astype(np.float64), density)
+
+    # Accuracy: data → GT.
+    if obs_mask_path:
+        bb, res, obs = load_obs_mask(obs_mask_path)
+        keep = apply_obs_mask(data_pts, bb, res, obs)
+        data_eval = data_pts[keep]
+    else:
+        data_eval = data_pts
+    d_acc = nn_distances(data_eval, gt_pts.astype(np.float64))
+    d_acc = d_acc[d_acc < max_dist]
+
+    # Completeness: GT → data.
+    if plane_path:
+        plane = load_plane(plane_path)
+        above = (np.concatenate([gt_pts, np.ones((gt_pts.shape[0], 1),
+                                                 gt_pts.dtype)], axis=1)
+                 @ plane) > 0
+        gt_eval = gt_pts[above]
+    else:
+        gt_eval = gt_pts
+    d_comp = nn_distances(gt_eval.astype(np.float64), data_pts)
+    d_comp = d_comp[d_comp < max_dist]
+
+    acc = float(np.mean(d_acc)) if d_acc.size else float("nan")
+    comp = float(np.mean(d_comp)) if d_comp.size else float("nan")
+    return {
+        "accuracy_mm": acc,
+        "completeness_mm": comp,
+        "overall_mm": (acc + comp) / 2.0,
+        "acc_median_mm": float(np.median(d_acc)) if d_acc.size else float("nan"),
+        "comp_median_mm": float(np.median(d_comp)) if d_comp.size else float("nan"),
+        "n_data_points": int(data_eval.shape[0]),
+        "n_gt_points": int(gt_eval.shape[0]),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser(description="DTU acc/comp scorer")
+    parser.add_argument("--data", required=True, help="fused point cloud .ply")
+    parser.add_argument("--gt", required=True, help="GT STL point cloud .ply")
+    parser.add_argument("--obs_mask", default=None, help="ObsMask{scan}_10.mat")
+    parser.add_argument("--plane", default=None, help="Plane{scan}.mat")
+    parser.add_argument("--density", type=float, default=DENSITY)
+    parser.add_argument("--max_dist", type=float, default=MAX_DIST)
+    args = parser.parse_args()
+    print(json.dumps(score(args.data, args.gt, args.obs_mask, args.plane,
+                           args.density, args.max_dist)))
+
+
+if __name__ == "__main__":
+    main()

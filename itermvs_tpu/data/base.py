@@ -1,0 +1,131 @@
+"""Shared MVS dataset machinery, torch-free.
+
+All loaders emit NHWC numpy samples with the reference's field layout
+(dicts of 4-level pyramids; reference: datasets/dtu_yao.py:227-232):
+
+    imgs:          level_0..3 → [V, H_l, W_l, 3] float32 in [−1, 1]
+    proj_matrices: level_0..3 → [V, 4, 4]
+    depth_min/max: float scalars
+    (train) depth/mask: level_0..3 → [H_l, W_l, 1]
+    (eval)  filename:   '<scan>/{}/<refview:08d>{}' template
+
+Image pyramids follow the reference exactly: scale to [−1, 1], optional
+INTER_LINEAR resize to the target, then INTER_LINEAR /2 /4 /8 pyramid
+(dtu_yao.py:69-76). GT depth/mask pyramids use INTER_NEAREST
+(dtu_yao.py:113-115).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+LEVELS = 4
+
+
+def _cv2():
+    import cv2
+
+    return cv2
+
+
+def image_pyramid(img: np.ndarray, img_wh: tuple[int, int] | None) -> dict:
+    """[-1,1]-scaled multi-scale pyramid from an HWC uint8/float image."""
+    cv2 = _cv2()
+    np_img = 2.0 * np.asarray(img, dtype=np.float32) / 255.0 - 1.0
+    if img_wh is not None and (np_img.shape[1], np_img.shape[0]) != tuple(img_wh):
+        np_img = cv2.resize(np_img, tuple(img_wh), interpolation=cv2.INTER_LINEAR)
+    h, w, _ = np_img.shape
+    return {
+        "level_3": cv2.resize(np_img, (w // 8, h // 8), interpolation=cv2.INTER_LINEAR),
+        "level_2": cv2.resize(np_img, (w // 4, h // 4), interpolation=cv2.INTER_LINEAR),
+        "level_1": cv2.resize(np_img, (w // 2, h // 2), interpolation=cv2.INTER_LINEAR),
+        "level_0": np_img,
+    }
+
+
+def nearest_pyramid(arr: np.ndarray) -> dict:
+    """INTER_NEAREST /1 /2 /4 /8 pyramid of an [H, W] float map."""
+    cv2 = _cv2()
+    h, w = arr.shape
+    out = {}
+    for i in range(LEVELS):
+        out[f"level_{i}"] = cv2.resize(
+            arr, (w // (2 ** i), h // (2 ** i)), interpolation=cv2.INTER_NEAREST)
+    return out
+
+
+def proj_matrix_pyramid(intrinsics: np.ndarray, extrinsics: np.ndarray) -> dict:
+    """Per-level 4×4 projections `[K_l·E ; E_lastrow]`.
+
+    `intrinsics` at full (level-0) resolution; level_l scales the first
+    two K rows by 2^−l (reference dtu_yao.py:170-188 computes the same
+    cumulative ×0.125/×2 ladder).
+    """
+    out = {}
+    for level in range(LEVELS):
+        k = intrinsics.copy()
+        k[:2] *= 0.5 ** level
+        p = extrinsics.copy()
+        p[:3, :4] = k @ extrinsics[:3, :4]
+        out[f"level_{level}"] = p
+    return out
+
+
+def stack_views(per_view: list[dict], keys=("level_0", "level_1", "level_2", "level_3")):
+    """List of per-view level dicts → level dict of [V, ...] stacks."""
+    return {k: np.stack([pv[k] for pv in per_view]) for k in keys}
+
+
+def color_jitter(pil_img, rng, brightness=0.5, contrast=0.5):
+    """torchvision-equivalent ColorJitter(brightness, contrast) on PIL.
+
+    Random factors U[1−b, 1+b] / U[1−c, 1+c], applied in random order
+    (reference training augmentation, dtu_yao.py:26,66-67).
+    """
+    from PIL import ImageEnhance
+
+    ops = []
+    b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    ops.append(lambda im: ImageEnhance.Brightness(im).enhance(b))
+    ops.append(lambda im: ImageEnhance.Contrast(im).enhance(c))
+    order = rng.permutation(2)
+    for i in order:
+        pil_img = ops[i](pil_img)
+    return pil_img
+
+
+class MVSDatasetBase:
+    """Minimal map-style dataset protocol (len / getitem)."""
+
+    metas: list
+
+    def __len__(self):
+        return len(self.metas)
+
+    def __getitem__(self, idx):
+        raise NotImplementedError
+
+    @staticmethod
+    def read_pair_list(path):
+        from itermvs_tpu.io import read_pair_file
+
+        return read_pair_file(path)
+
+    @staticmethod
+    def read_cam(path):
+        from itermvs_tpu.io import read_cam_file
+
+        return read_cam_file(path)
+
+    @staticmethod
+    def read_image(path):
+        from PIL import Image
+
+        return Image.open(path)
+
+    @staticmethod
+    def expand_map(level_dict):
+        """[H,W] float maps → [H,W,1] (NHWC channel axis)."""
+        return {k: v[..., None].astype(np.float32) for k, v in level_dict.items()}

@@ -1,0 +1,112 @@
+"""BlendedMVS train/val loader (reference: datasets/blendedmvs.py).
+
+Layout: <scan>/blended_images/{v:08d}.jpg, <scan>/rendered_depth_maps/
+{v:08d}.pfm, <scan>/cams/{v:08d}_cam.txt + cams/pair.txt. Per-scan
+depth rescaling `scale_factor = 100/depth_min` is applied to extrinsic
+translation, depth range and GT (blendedmvs.py:55-60); GT mask = depth
+within [dmin, dmax]; metas require ≥ nviews−1 sources.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from itermvs_tpu.data.base import (
+    MVSDatasetBase, image_pyramid, nearest_pyramid, proj_matrix_pyramid,
+    stack_views, color_jitter,
+)
+from itermvs_tpu.io import read_pfm
+
+
+class MVSDataset(MVSDatasetBase):
+    def __init__(self, datapath, listfile, split, nviews, img_wh=(768, 576),
+                 robust_train=True, seed=None):
+        assert split in ("train", "val", "all")
+        assert img_wh[0] % 32 == 0 and img_wh[1] % 32 == 0, \
+            "img_wh must both be multiples of 32!"
+        self.datapath = datapath
+        self.listfile = listfile
+        self.split = split
+        self.nviews = nviews
+        self.img_wh = img_wh
+        self.robust_train = robust_train
+        self.rng = np.random.default_rng(seed)
+        self.scale_factors: dict[str, float] = {}
+        self.metas = self._build_list()
+
+    def _build_list(self):
+        metas = []
+        with open(self.listfile) as f:
+            scans = [line.rstrip() for line in f if line.strip()]
+        for scan in scans:
+            pairs = self.read_pair_list(
+                os.path.join(self.datapath, scan, "cams/pair.txt"))
+            for ref_view, src_views in pairs:
+                if len(src_views) >= self.nviews - 1:
+                    metas.append((scan, ref_view, src_views))
+        return metas
+
+    def _read_cam(self, scan, path):
+        intrinsics, extrinsics, dmin, dmax = self.read_cam(path)
+        if scan not in self.scale_factors:
+            self.scale_factors[scan] = 100.0 / dmin
+        factor = self.scale_factors[scan]
+        extrinsics = extrinsics.copy()
+        extrinsics[:3, 3] *= factor
+        return intrinsics.copy(), extrinsics, dmin * factor, dmax * factor
+
+    def _read_depth_mask(self, scan, path, depth_min, depth_max, scale):
+        import cv2
+
+        depth = read_pfm(path)[0][..., 0] * self.scale_factors[scan] * scale
+        mask = ((depth >= depth_min) & (depth <= depth_max)).astype(np.float32)
+        depth = cv2.resize(depth, self.img_wh, interpolation=cv2.INTER_NEAREST)
+        # Reference computes the mask at native res and pyramids it
+        # alongside the resized depth (blendedmvs.py:67-78).
+        mask = cv2.resize(mask, self.img_wh, interpolation=cv2.INTER_NEAREST)
+        return nearest_pyramid(depth), nearest_pyramid(mask)
+
+    def __getitem__(self, idx):
+        scan, ref_view, src_views = self.metas[idx]
+        if self.robust_train:
+            index = self.rng.choice(len(src_views), self.nviews - 1, replace=False)
+            view_ids = [ref_view] + [src_views[i] for i in index]
+            scale = float(self.rng.uniform(0.8, 1.25))
+        else:
+            view_ids = [ref_view] + src_views[:self.nviews - 1]
+            scale = 1.0
+
+        imgs, projs = [], []
+        depth = mask = None
+        depth_min = depth_max = None
+        for i, vid in enumerate(view_ids):
+            img_path = os.path.join(self.datapath, scan,
+                                    f"blended_images/{vid:0>8}.jpg")
+            cam_path = os.path.join(self.datapath, scan, f"cams/{vid:0>8}_cam.txt")
+
+            img = self.read_image(img_path)
+            if self.split == "train":
+                img = color_jitter(img, self.rng)
+            imgs.append(image_pyramid(img, self.img_wh))
+
+            intrinsics, extrinsics, dmin, dmax = self._read_cam(scan, cam_path)
+            extrinsics[:3, 3] *= scale
+            projs.append(proj_matrix_pyramid(intrinsics, extrinsics))
+
+            if i == 0:
+                depth_min = dmin * scale
+                depth_max = dmax * scale
+                depth_path = os.path.join(
+                    self.datapath, scan, f"rendered_depth_maps/{vid:0>8}.pfm")
+                depth, mask = self._read_depth_mask(
+                    scan, depth_path, depth_min, depth_max, scale)
+
+        return {
+            "imgs": stack_views(imgs),
+            "proj_matrices": stack_views(projs),
+            "depth": self.expand_map(depth),
+            "depth_min": np.float32(depth_min),
+            "depth_max": np.float32(depth_max),
+            "mask": self.expand_map(mask),
+        }

@@ -1,0 +1,118 @@
+"""Host-side batching / prefetching loader (replaces torch DataLoader).
+
+The reference drives training through `torch.utils.data.DataLoader`
+with 4 worker processes (train.py:89-90). Here: a thread-pool loader —
+cv2 / PIL / numpy release the GIL for the heavy decode+resize work, so
+threads deliver near-linear speedups without fork overhead — plus a
+device-prefetch wrapper that keeps one batch in flight to overlap host
+IO with TPU compute.
+"""
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def collate(samples: list):
+    """Recursively stack a list of samples (dicts / arrays / scalars)."""
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: collate([s[k] for s in samples]) for k in first}
+    if isinstance(first, np.ndarray):
+        return np.stack(samples)
+    if isinstance(first, (np.floating, float)):
+        return np.asarray(samples, dtype=np.float32)
+    if isinstance(first, (np.integer, int)):
+        return np.asarray(samples, dtype=np.int64)
+    if isinstance(first, str):
+        return list(samples)
+    raise TypeError(f"cannot collate type {type(first)}")
+
+
+class DataLoader:
+    """Iterable over batched samples with threaded prefetch.
+
+    Args mirror the reference's DataLoader call sites: batch_size,
+    shuffle, num_workers, drop_last. `seed` controls shuffle order.
+    """
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
+                 drop_last=False, seed=0, prefetch_batches=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        batches = []
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start:start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            batches.append(chunk)
+        return batches
+
+    def __iter__(self):
+        batches = self._batch_indices()
+        self._epoch += 1
+        if not batches:
+            return
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            depth = self.prefetch_batches + 1
+            pending = collections.deque()
+
+            def submit(batch):
+                return [pool.submit(self.dataset.__getitem__, int(i)) for i in batch]
+
+            for batch in batches[:depth]:
+                pending.append(submit(batch))
+            next_to_submit = depth
+
+            while pending:
+                futures = pending.popleft()
+                if next_to_submit < len(batches):
+                    pending.append(submit(batches[next_to_submit]))
+                    next_to_submit += 1
+                yield collate([f.result() for f in futures])
+
+
+def prefetch_to_device(iterator, size: int = 2, device=None):
+    """Move batches to device ahead of consumption (double buffering)."""
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(jax.device_put(batch, device))
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -1,0 +1,55 @@
+"""End-to-end: eval.py CLI on a synthetic scene → depth PFMs → fused PLY.
+
+Exercises every layer (loader → jitted model → PFM seam → fusion → PLY)
+with the released DTU checkpoint; validates reconstruction geometry
+against the scene's known plane.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.synthetic_scene import build_scene_dir, Z0
+
+CKPT = "/root/reference/checkpoints/dtu/model_000015.ckpt"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="reference checkpoint unavailable")
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    scene = str(tmp_path / "scene")
+    out = str(tmp_path / "out")
+    os.makedirs(scene)
+    build_scene_dir(scene, num_views=4, width=128, height=96,
+                    write_gt_depth=False)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [sys.executable, os.path.join(repo, "eval.py"),
+         "--dataset=custom", "--batch_size=1", "--n_views", "3",
+         "--img_wh", "128", "96", f"--testpath={scene}",
+         "--geo_pixel_thres=1", "--geo_depth_thres=0.01", "--photo_thres=0.3",
+         f"--outdir={out}", "--loadckpt", CKPT],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=1200)
+    assert result.returncode == 0, result.stderr[-3000:]
+
+    from itermvs_tpu.io import read_pfm, read_ply
+
+    depth, _ = read_pfm(os.path.join(out, "depth_est/00000000.pfm"))
+    conf, _ = read_pfm(os.path.join(out, "confidence/00000000.pfm"))
+    assert depth.shape == (96, 128, 1)
+    assert conf.shape == (96, 128, 1)
+    assert np.isfinite(depth).all()
+
+    ply = os.path.join(out, "custom.ply")
+    assert os.path.exists(ply)
+    xyz, rgb = read_ply(ply)
+    assert xyz.shape[0] > 1000, "fusion produced too few points"
+    # Fused points concentrate on the synthetic plane z = Z0.
+    median_err = np.median(np.abs(xyz[:, 2] - Z0))
+    assert median_err < 0.2, f"median plane error {median_err}"

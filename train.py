@@ -1,0 +1,199 @@
+"""IterMVS training driver — CLI-compatible with the reference train.py.
+
+TPU-native training: one jitted train step (forward + loss + global-norm
+clip + Adam) with the batch axis sharded over a 1-D device mesh (GSPMD
+inserts the gradient all-reduce over ICI); per-epoch MultiStep LR,
+TensorBoard scalars every --summary_freq steps, Orbax checkpoints every
+--save_freq epochs, latest-epoch resume, and a full validation pass per
+epoch (reference recipe: train.py:123-191).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from itermvs_tpu.data import find_dataset_def
+from itermvs_tpu.data.loader import DataLoader
+from itermvs_tpu.engine.checkpoint import (
+    latest_checkpoint, restore_checkpoint, restore_weights_only, save_checkpoint,
+)
+from itermvs_tpu.engine.metrics import DictAverageMeter
+from itermvs_tpu.engine.tb_writer import SummaryWriter
+from itermvs_tpu.engine.train_loop import (
+    create_train_state, lr_for_epoch, make_optimizer, make_train_step,
+    make_val_step,
+)
+from itermvs_tpu.models import Pipeline
+from itermvs_tpu.parallel.mesh import make_mesh, shard_batch
+
+parser = argparse.ArgumentParser(
+    description="IterMVS for high-resolution multi-view stereo")
+parser.add_argument("--mode", default="train", help="train or val",
+                    choices=["train", "val"])
+parser.add_argument("--model", default="IterMVS", help="select model")
+parser.add_argument("--dataset", default="dtu_yao", help="select dataset")
+parser.add_argument("--trainpath", help="train datapath")
+parser.add_argument("--valpath", help="validation datapath")
+parser.add_argument("--trainlist", help="train list")
+parser.add_argument("--vallist", help="validation list")
+parser.add_argument("--epochs", type=int, default=16, help="number of epochs to train")
+parser.add_argument("--lr", type=float, default=0.001, help="learning rate")
+parser.add_argument("--lrepochs", type=str, default="4,8,12:2",
+                    help="epoch ids to downscale lr and the downscale rate")
+parser.add_argument("--wd", type=float, default=0.0, help="weight decay")
+parser.add_argument("--batch_size", type=int, default=4, help="train batch size")
+parser.add_argument("--loadckpt", default=None, help="load a specific checkpoint")
+parser.add_argument("--logdir", default="./checkpoints",
+                    help="the directory to save checkpoints/logs")
+parser.add_argument("--resume", action="store_true", help="continue to train the model")
+parser.add_argument("--regress", action="store_true",
+                    help="train the regression and confidence")
+parser.add_argument("--small_image", action="store_true",
+                    help="train with small input as 640x512, otherwise train with 1280x1024")
+parser.add_argument("--summary_freq", type=int, default=20,
+                    help="print and summary frequency")
+parser.add_argument("--save_freq", type=int, default=1, help="save checkpoint frequency")
+parser.add_argument("--seed", type=int, default=1, metavar="S", help="random seed")
+parser.add_argument("--iteration", type=int, default=4, help="num of iteration of GRU")
+
+
+def to_device_batch(sample, mesh):
+    batch = {
+        "imgs": sample["imgs"],
+        "proj_matrices": sample["proj_matrices"],
+        "depth": sample["depth"],
+        "mask": sample["mask"],
+        "depth_min": sample["depth_min"],
+        "depth_max": sample["depth_max"],
+    }
+    if mesh is not None:
+        return shard_batch(batch, mesh)
+    return jax.device_put(batch)
+
+
+def main():
+    args = parser.parse_args()
+    if args.resume:
+        assert args.mode == "train"
+        assert args.loadckpt is None
+    if args.valpath is None:
+        args.valpath = args.trainpath
+
+    np.random.seed(args.seed)
+
+    print("argv:", sys.argv[1:])
+    for k, v in sorted(vars(args).items()):
+        print(f"{k}: {v}")
+
+    logger = None
+    if args.mode == "train":
+        os.makedirs(args.logdir, exist_ok=True)
+        print("creating new summary file")
+        logger = SummaryWriter(args.logdir)
+
+    MVSDataset = find_dataset_def(args.dataset)
+    train_dataset = MVSDataset(args.trainpath, args.trainlist, "train", 5,
+                               robust_train=True, seed=args.seed)
+    val_dataset = MVSDataset(args.valpath, args.vallist, "val", 5,
+                             robust_train=False, seed=args.seed)
+    train_loader = DataLoader(train_dataset, args.batch_size, shuffle=True,
+                              num_workers=4, drop_last=True, seed=args.seed)
+    val_loader = DataLoader(val_dataset, args.batch_size, shuffle=False,
+                            num_workers=4, drop_last=False)
+
+    # Data-parallel mesh when the batch divides the device count.
+    n_dev = jax.device_count()
+    mesh = make_mesh() if (n_dev > 1 and args.batch_size % n_dev == 0) else None
+    if mesh is not None:
+        print(f"data-parallel over {n_dev} devices")
+
+    model = Pipeline(iteration=args.iteration, test=False)
+    tx = make_optimizer(args.wd)
+
+    sample0 = train_dataset[0]
+    init_batch = {
+        k: jax.tree.map(lambda x: jnp.asarray(x)[None], sample0[k])
+        for k in ("imgs", "proj_matrices")
+    }
+    variables = model.init(
+        jax.random.PRNGKey(args.seed), init_batch["imgs"],
+        init_batch["proj_matrices"], jnp.asarray([sample0["depth_min"]]),
+        jnp.asarray([sample0["depth_max"]]), train=False)
+    state = create_train_state(variables, tx)
+    num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    print(f"Number of model parameters: {num_params}")
+
+    start_epoch = 0
+    if (args.mode == "train" and args.resume) or (args.mode == "val" and not args.loadckpt):
+        ckpt = latest_checkpoint(args.logdir)
+        assert ckpt is not None, f"no checkpoint to resume in {args.logdir}"
+        print("resuming", ckpt)
+        state, epoch = restore_checkpoint(ckpt, state)
+        start_epoch = epoch + 1
+    elif args.loadckpt:
+        print(f"loading model {args.loadckpt}")
+        state = restore_weights_only(args.loadckpt, state)
+    print(f"start at epoch {start_epoch}")
+
+    train_step = make_train_step(model, tx, regress=args.regress,
+                                 num_iters=args.iteration, mesh=mesh)
+    val_step = make_val_step(model, regress=args.regress,
+                             num_iters=args.iteration, mesh=mesh)
+
+    def run_validation(epoch_idx, global_step):
+        meter = DictAverageMeter()
+        for batch_idx, sample in enumerate(val_loader):
+            batch = to_device_batch(sample, mesh)
+            scalars = val_step(state.params, state.batch_stats, batch)
+            scalars = {k: float(v) for k, v in scalars.items()}
+            meter.update(scalars)
+            if batch_idx % 100 == 0:
+                print(f"Epoch {epoch_idx}/{args.epochs}, "
+                      f"Iter {batch_idx}/{len(val_loader)}, "
+                      f"test loss = {scalars['loss']:.3f}")
+        means = meter.mean()
+        if logger is not None:
+            logger.save_scalars("fulltest", means, global_step)
+        print("avg_test_scalars:", means)
+        return means
+
+    if args.mode == "val":
+        run_validation(start_epoch, 0)
+        return
+
+    for epoch_idx in range(start_epoch, args.epochs):
+        print(f"Epoch {epoch_idx}:")
+        lr = lr_for_epoch(args.lr, epoch_idx, args.lrepochs)
+        global_step = len(train_loader) * epoch_idx
+
+        for batch_idx, sample in enumerate(train_loader):
+            start = time.time()
+            step_no = len(train_loader) * epoch_idx + batch_idx
+            batch = to_device_batch(sample, mesh)
+            state, scalars = train_step(state, batch, jnp.float32(lr))
+            do_summary = step_no % args.summary_freq == 0
+            if do_summary:
+                scalars = {k: float(v) for k, v in scalars.items()}
+                if logger is not None:
+                    logger.save_scalars("train", scalars, step_no)
+                print(f"Epoch {epoch_idx}/{args.epochs}, "
+                      f"Iter {batch_idx}/{len(train_loader)}, "
+                      f"lr {lr:.6f}, train loss = {scalars['loss']:.3f}, "
+                      f"time = {time.time() - start:.3f}")
+
+        if (epoch_idx + 1) % args.save_freq == 0:
+            path = save_checkpoint(args.logdir, epoch_idx, state)
+            print("saved", path)
+
+        run_validation(epoch_idx, global_step)
+
+
+if __name__ == "__main__":
+    main()
