@@ -11,6 +11,11 @@ import re
 
 import numpy as np
 
+try:  # native fast path (native/itermvs_io); pure-NumPy fallback below
+    import itermvs_io as _native
+except ImportError:
+    _native = None
+
 
 def read_pfm(path: str) -> tuple[np.ndarray, float]:
     """Read a PFM file.
@@ -18,6 +23,10 @@ def read_pfm(path: str) -> tuple[np.ndarray, float]:
     Returns (data, scale) where data is [H, W, 1] for `Pf` or [H, W, 3]
     for `PF`, top-down row order, dtype float32 (native byte order).
     """
+    if _native is not None:
+        raw, height, width, channels, scale = _native.read_pfm_raw(path)
+        data = np.frombuffer(raw, np.float32).reshape(height, width, channels)
+        return data, scale
     with open(path, "rb") as f:
         header = f.readline().decode("utf-8").rstrip()
         if header == "PF":
@@ -59,6 +68,13 @@ def save_pfm(path: str, image: np.ndarray, scale: float = 1.0) -> None:
         color = False
     else:
         raise ValueError(f"bad PFM image shape {image.shape}")
+
+    if _native is not None:
+        h, w = image.shape[:2]
+        channels = 3 if color else 1
+        _native.write_pfm_raw(path, np.ascontiguousarray(image, np.float32),
+                              h, w, channels, float(scale))
+        return
 
     flipped = np.flipud(image)
     with open(path, "wb") as f:

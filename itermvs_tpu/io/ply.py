@@ -8,6 +8,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # native fast path (native/itermvs_io)
+    import itermvs_io as _native
+except ImportError:
+    _native = None
+
 _VERTEX_DTYPE = np.dtype([
     ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
     ("red", "u1"), ("green", "u1"), ("blue", "u1"),
@@ -21,6 +26,10 @@ def write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
     if xyz.ndim != 2 or xyz.shape[1] != 3 or rgb.shape != xyz.shape:
         raise ValueError(f"bad point-cloud shapes xyz={xyz.shape} rgb={rgb.shape}")
     n = xyz.shape[0]
+    if _native is not None:
+        _native.write_ply_raw(path, np.ascontiguousarray(xyz),
+                              np.ascontiguousarray(rgb), n)
+        return
     vertices = np.empty(n, dtype=_VERTEX_DTYPE)
     vertices["x"], vertices["y"], vertices["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     vertices["red"], vertices["green"], vertices["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]

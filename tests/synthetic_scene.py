@@ -18,12 +18,38 @@ Z0 = 5.0
 DEPTH_MIN, DEPTH_MAX = 2.0, 10.0
 
 
+_NOISE_RES = 512
+_NOISE = np.random.RandomState(1234).rand(3, _NOISE_RES, _NOISE_RES).astype(np.float64)
+
+
+def _value_noise(channel, u, v):
+    """Bilinear lookup into a fixed random grid (non-periodic texture)."""
+    grid = _NOISE[channel]
+    u = np.clip(u, 0, _NOISE_RES - 1.001)
+    v = np.clip(v, 0, _NOISE_RES - 1.001)
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu = u - u0
+    fv = v - v0
+    return ((grid[v0, u0] * (1 - fu) + grid[v0, u0 + 1] * fu) * (1 - fv)
+            + (grid[v0 + 1, u0] * (1 - fu) + grid[v0 + 1, u0 + 1] * fu) * fv)
+
+
 def _texture(x, y):
-    """Smooth procedural RGB texture over world coordinates."""
-    r = 0.5 + 0.5 * np.sin(1.7 * x) * np.cos(2.3 * y)
-    g = 0.5 + 0.5 * np.sin(2.9 * x + 1.0) * np.sin(1.3 * y)
-    b = 0.5 + 0.5 * np.cos(1.1 * x * y * 0.2 + 0.5)
-    return np.stack([r, g, b], axis=-1)
+    """Multi-octave non-periodic value-noise texture.
+
+    Photometric matching needs unambiguous (non-repeating) detail at
+    the few-pixel scale: at the test cameras one world unit ≈ 30-60 px,
+    so octaves at 8/24/64 noise-cells per world unit give structure
+    from coarse blobs down to ~1-pixel speckle.
+    """
+    out = []
+    for c in range(3):
+        val = (0.5 * _value_noise(c, 8 * x + 77, 8 * y + 77)
+               + 0.3 * _value_noise(c, 24 * x + 200, 24 * y + 150)
+               + 0.2 * _value_noise(c, 64 * x + 300, 64 * y + 350))
+        out.append(val)
+    return np.clip(np.stack(out, axis=-1), 0.0, 1.0)
 
 
 def make_cameras(num_views, width, height, rng):

@@ -23,7 +23,7 @@ def test_eval_cli_end_to_end(tmp_path):
     scene = str(tmp_path / "scene")
     out = str(tmp_path / "out")
     os.makedirs(scene)
-    build_scene_dir(scene, num_views=4, width=128, height=96,
+    build_scene_dir(scene, num_views=4, width=512, height=384,
                     write_gt_depth=False)
 
     env = dict(os.environ)
@@ -31,8 +31,8 @@ def test_eval_cli_end_to_end(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     result = subprocess.run(
         [sys.executable, os.path.join(repo, "eval.py"),
-         "--dataset=custom", "--batch_size=1", "--n_views", "3",
-         "--img_wh", "128", "96", f"--testpath={scene}",
+         "--dataset=custom", "--batch_size=1", "--n_views", "4",
+         "--img_wh", "512", "384", f"--testpath={scene}",
          "--geo_pixel_thres=1", "--geo_depth_thres=0.01", "--photo_thres=0.3",
          f"--outdir={out}", "--loadckpt", CKPT],
         capture_output=True, text=True, cwd=repo, env=env, timeout=1200)
@@ -42,14 +42,14 @@ def test_eval_cli_end_to_end(tmp_path):
 
     depth, _ = read_pfm(os.path.join(out, "depth_est/00000000.pfm"))
     conf, _ = read_pfm(os.path.join(out, "confidence/00000000.pfm"))
-    assert depth.shape == (96, 128, 1)
-    assert conf.shape == (96, 128, 1)
+    assert depth.shape == (384, 512, 1)
+    assert conf.shape == (384, 512, 1)
     assert np.isfinite(depth).all()
 
     ply = os.path.join(out, "custom.ply")
     assert os.path.exists(ply)
     xyz, rgb = read_ply(ply)
-    assert xyz.shape[0] > 1000, "fusion produced too few points"
+    assert xyz.shape[0] > 50_000, "fusion produced too few points"
     # Fused points concentrate on the synthetic plane z = Z0.
     median_err = np.median(np.abs(xyz[:, 2] - Z0))
-    assert median_err < 0.2, f"median plane error {median_err}"
+    assert median_err < 0.05, f"median plane error {median_err}"

@@ -79,3 +79,41 @@ def test_ply_roundtrip(tmp_path, rng):
     xyz2, rgb2 = read_ply(p)
     np.testing.assert_array_equal(xyz2, xyz)
     np.testing.assert_array_equal(rgb2, rgb)
+
+
+def test_native_io_matches_python(tmp_path, rng):
+    """Native (C++) and pure-NumPy codecs must agree byte-for-byte."""
+    pytest = __import__("pytest")
+    try:
+        import itermvs_io  # noqa: F401
+    except ImportError:
+        pytest.skip("native itermvs_io not built (make -C native)")
+    import itermvs_tpu.io.pfm as pfm_mod
+    import itermvs_tpu.io.ply as ply_mod
+
+    img = rng.rand(16, 9).astype(np.float32)
+    p_native = str(tmp_path / "n.pfm")
+    p_python = str(tmp_path / "p.pfm")
+    save_pfm(p_native, img)
+    native_backup, pfm_mod._native = pfm_mod._native, None
+    try:
+        save_pfm(p_python, img)
+        data_py, scale_py = read_pfm(p_native)
+    finally:
+        pfm_mod._native = native_backup
+    assert open(p_native, "rb").read() == open(p_python, "rb").read()
+    data_nat, scale_nat = read_pfm(p_python)
+    np.testing.assert_array_equal(data_nat, data_py)
+    assert scale_nat == scale_py
+
+    xyz = rng.rand(777, 3).astype(np.float32)
+    rgb = (rng.rand(777, 3) * 255).astype(np.uint8)
+    ply_n = str(tmp_path / "n.ply")
+    ply_p = str(tmp_path / "p.ply")
+    write_ply(ply_n, xyz, rgb)
+    native_backup, ply_mod._native = ply_mod._native, None
+    try:
+        write_ply(ply_p, xyz, rgb)
+    finally:
+        ply_mod._native = native_backup
+    assert open(ply_n, "rb").read() == open(ply_p, "rb").read()
