@@ -26,7 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from itermvs_tpu.models import Pipeline
+    from itermvs_tpu.utils import enable_persistent_cache
     from __graft_entry__ import _example_inputs
+
+    enable_persistent_cache()
 
     width, height, views = 1152, 864, 5
     imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)

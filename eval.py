@@ -23,6 +23,9 @@ from itermvs_tpu.engine.checkpoint import load_variables
 from itermvs_tpu.fusion import filter_depth
 from itermvs_tpu.io import save_pfm
 from itermvs_tpu.models import Pipeline
+from itermvs_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
 
 parser = argparse.ArgumentParser(description="Predict depth, filter, and fuse")
 parser.add_argument("--model", default="IterMVS", help="select model")

@@ -34,7 +34,7 @@ import flax.linen as nn
 from itermvs_tpu.models.blocks import Conv, ConvGRU, ConvReLU, ConvTranspose
 from itermvs_tpu.ops.depth_range import depth_unnormalization
 from itermvs_tpu.ops.resize import resize_bilinear, upsample_bilinear
-from itermvs_tpu.ops.warping import warp_corr
+from itermvs_tpu.ops.warping import pack_bilinear, warp_corr_packed
 
 NUM_BINS = 256          # output probability bins over normalized inverse depth
 RADIUS = 4              # windowed-expectation half width
@@ -131,7 +131,7 @@ class Evaluation(nn.Module):
 
         Args:
           ref_feature: [B, H8, W8, 48] level-3 reference feature.
-          src_features: [B, V−1, H8, W8, 48].
+          src_features: [B, V−1, H8, W8, 4·48] corner-packed.
           rel_projs: [B, V−1, 4, 4] level-3 relative projections.
           depth_samples: [B, 32, H8, W8].
 
@@ -147,8 +147,9 @@ class Evaluation(nn.Module):
         weight_sum = 1e-5
         view_weights = []
         for v in range(num_views):
-            corr = warp_corr(src_features[:, v], ref_feature, rel_projs[:, v],
-                             depth_samples, GROUPS)          # [B,N,H,W,G]
+            corr = warp_corr_packed(src_features[:, v], ref_feature,
+                                    rel_projs[:, v], depth_samples,
+                                    GROUPS)                  # [B,N,H,W,G]
             weight = self.pixel_view_weight(corr)            # [B,H,W,1]
             view_weights.append(upsample_bilinear(weight, 2))
             corr_sum = corr_sum + corr * weight[:, None]
@@ -176,8 +177,13 @@ class Evaluation(nn.Module):
         """Iteration branch over levels 1..3 (reference itermvs.py:84-126).
 
         Args:
-          ref_features / src_features / rel_projs: dicts keyed level1..3;
-            src features [B, V−1, Hl, Wl, Cl], projs [B, V−1, 4, 4].
+          ref_features: dict level1..3, ALREADY resized to the 1/4 grid
+            (iteration-invariant — the caller hoists the resize out of
+            the GRU loop; reference re-interpolates per call,
+            itermvs.py:95-98).
+          src_features: dict level1..3 of corner-packed
+            [B, V−1, Hl, Wl, 4·Cl] at native level resolution.
+          rel_projs: dict level1..3 of [B, V−1, 4, 4].
           depth_samples: dict level1..3 of [B, Nl, H4, W4].
           view_weights: [B, V−1, H4, W4, 1], frozen.
 
@@ -190,14 +196,11 @@ class Evaluation(nn.Module):
             key = f"level{level}"
             ref = ref_features[key]
             samples = depth_samples[key]
-            h4, w4 = samples.shape[2], samples.shape[3]
-            if level != 2:
-                ref = resize_bilinear(ref, (h4, w4))
             corr_sum = 0.0
             weight_sum = 1e-5
             for v in range(num_views):
-                corr = warp_corr(src_features[key][:, v], ref,
-                                 rel_projs[key][:, v], samples, GROUPS)
+                corr = warp_corr_packed(src_features[key][:, v], ref,
+                                        rel_projs[key][:, v], samples, GROUPS)
                 weight = view_weights[:, v][:, None]          # [B,1,H,W,1]
                 corr_sum = corr_sum + corr * weight
                 weight_sum = weight_sum + weight
@@ -303,9 +306,21 @@ class IterMVS(nn.Module):
 
         upsample_weights = self._upsample_weights(ref_features["level2"])
 
+        # Corner-pack source features once per (view, level): the init
+        # sweep and every GRU iteration re-warp the same sources.
+        packed_src = {key: pack_bilinear(src_features[key])
+                      for key in ("level1", "level2", "level3")}
+        # Reference features on the 1/4 iteration grid, hoisted out of
+        # the loop (iteration-invariant).
+        ref_iter = {
+            "level1": resize_bilinear(ref_features["level1"], (h4, w4)),
+            "level2": ref_features["level2"],
+            "level3": resize_bilinear(ref_features["level3"], (h4, w4)),
+        }
+
         depth_samples = initial_depth_samples(idmin, idmax, h4 // 2, w4 // 2)
         view_weights, score_volume, init_depth = self.evaluation.init_sweep(
-            ref_features["level3"], src_features["level3"], rel_projs["level3"],
+            ref_features["level3"], packed_src["level3"], rel_projs["level3"],
             depth_samples, idmin, idmax)
 
         hidden = self.update.hidden_init(score_volume)
@@ -338,7 +353,7 @@ class IterMVS(nn.Module):
                 samples[key] = depth_unnormalization(s, idmin_b, idmax_b)
 
             corr = self.evaluation.iter_sweep(
-                ref_features, src_features, rel_projs, samples, view_weights)
+                ref_iter, packed_src, rel_projs, samples, view_weights)
 
             if not self.test:
                 hidden, normalized_depth, probability, confidence, confidence_logits = (

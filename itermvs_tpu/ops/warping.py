@@ -12,8 +12,12 @@ models/itermvs.py:49-51 group correlation):
 * `warp_corr` never hands a [B, C, N, H, W] tensor back to Python: the
   bilinear gather and the G-group correlation reduction are fused into
   one traced expression so XLA can keep the warped features out of HBM
-  where possible. A Pallas kernel with identical semantics can be
-  swapped in via `itermvs_tpu.ops.warp_corr_pallas`.
+  where possible;
+* the bilinear gather uses the corner-packed single-gather formulation
+  (ops/grid_sample.py): `pack_bilinear` expands source features once to
+  4C corner slots, and each warp is one flat row gather — the packed
+  tensor is built once per (view, level) and reused by every GRU
+  iteration's re-warp (`warp_corr_packed`).
 
 Exact-parity notes (verified against torch in tests/test_warping.py):
 * behind-camera samples (z ≤ 1e-2) are remapped to pixel (W_d, H_d) of
@@ -27,19 +31,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from itermvs_tpu.ops.grid_sample import grid_sample
+from itermvs_tpu.ops.grid_sample import gather_bilinear, pack_corners
 
 
-def _projection_grid(proj: jnp.ndarray, depth_samples: jnp.ndarray,
-                     src_hw: tuple[int, int]) -> jnp.ndarray:
-    """Normalized sampling grid for a projective warp.
+def _projection_pixels(proj: jnp.ndarray, depth_samples: jnp.ndarray,
+                       src_hw: tuple[int, int]):
+    """Projective sampling positions in source-pixel units.
 
     Args:
       proj: [B, 4, 4] relative projection `src_proj @ inv(ref_proj)`.
       depth_samples: [B, N, H, W] depths at the reference view.
       src_hw: (H1, W1) of the source feature map being sampled.
 
-    Returns: [B, N, H, W, 2] grid (x, y) in [-1, 1], stop-gradiented.
+    Returns: (px, py), each [B, N, H, W] float pixel coords into the
+    source map, stop-gradiented.
     """
     b, n, h, w = depth_samples.shape
     h1, w1 = src_hw
@@ -71,10 +76,32 @@ def _projection_grid(proj: jnp.ndarray, depth_samples: jnp.ndarray,
     py = jnp.where(valid, proj_xyz[..., 1], jnp.float32(h))
     pz = jnp.where(valid, z, 1.0)
 
-    x_norm = (px / pz) / ((w1 - 1) / 2.0) - 1.0
-    y_norm = (py / pz) / ((h1 - 1) / 2.0) - 1.0
-    grid = jnp.stack([x_norm, y_norm], axis=-1).reshape(b, n, h, w, 2)
-    return jax.lax.stop_gradient(grid)
+    grid_px = (px / pz).reshape(b, n, h, w)
+    grid_py = (py / pz).reshape(b, n, h, w)
+    return jax.lax.stop_gradient(grid_px), jax.lax.stop_gradient(grid_py)
+
+
+def pack_bilinear(src_fea: jnp.ndarray) -> jnp.ndarray:
+    """Corner-pack source features `[..., H1, W1, C]` → `[..., H1, W1, 4C]`.
+
+    Build once per (view, level); every warp against the same source —
+    the init sweep and all GRU iterations — reuses it.
+    """
+    return pack_corners(src_fea)
+
+
+def differentiable_warp_packed(packed_src: jnp.ndarray, proj: jnp.ndarray,
+                               depth_samples: jnp.ndarray) -> jnp.ndarray:
+    """Warp corner-packed `[B, H1, W1, 4C]` source features.
+
+    Args:
+      proj: [B, 4, 4] relative projection `src_proj @ inv(ref_proj)`.
+      depth_samples: [B, N, H, W].
+
+    Returns warped features [B, N, H, W, C].
+    """
+    px, py = _projection_pixels(proj, depth_samples, packed_src.shape[1:3])
+    return gather_bilinear(packed_src, px, py)
 
 
 def differentiable_warp(src_fea: jnp.ndarray, proj: jnp.ndarray,
@@ -87,16 +114,17 @@ def differentiable_warp(src_fea: jnp.ndarray, proj: jnp.ndarray,
 
     Returns warped features [B, N, H, W, C].
     """
-    grid = _projection_grid(proj, depth_samples, src_fea.shape[1:3])
-    return grid_sample(src_fea, grid)
+    return differentiable_warp_packed(pack_bilinear(src_fea), proj,
+                                      depth_samples)
 
 
-def warp_corr(src_fea: jnp.ndarray, ref_fea: jnp.ndarray, proj: jnp.ndarray,
-              depth_samples: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """Fused warp + group-wise correlation.
+def warp_corr_packed(packed_src: jnp.ndarray, ref_fea: jnp.ndarray,
+                     proj: jnp.ndarray, depth_samples: jnp.ndarray,
+                     groups: int) -> jnp.ndarray:
+    """Fused warp + group-wise correlation on corner-packed features.
 
     Args:
-      src_fea: [B, H1, W1, C] source-view features (native level res).
+      packed_src: [B, H1, W1, 4C] from `pack_bilinear`.
       ref_fea: [B, H, W, C] reference features at depth-grid resolution.
       proj: [B, 4, 4] relative projection.
       depth_samples: [B, N, H, W].
@@ -106,13 +134,20 @@ def warp_corr(src_fea: jnp.ndarray, ref_fea: jnp.ndarray, proj: jnp.ndarray,
     C/G in-group channels of (warped ⊙ ref).
     """
     b, n, h, w = depth_samples.shape
-    c = src_fea.shape[-1]
+    c = packed_src.shape[-1] // 4
     cg = c // groups
-    warped = differentiable_warp(src_fea, proj, depth_samples)    # [B,N,H,W,C]
+    warped = differentiable_warp_packed(packed_src, proj, depth_samples)
     prod = warped.reshape(b, n, h, w, groups, cg) * ref_fea.reshape(
         b, 1, h, w, groups, cg
     )
     return jnp.mean(prod, axis=-1)
+
+
+def warp_corr(src_fea: jnp.ndarray, ref_fea: jnp.ndarray, proj: jnp.ndarray,
+              depth_samples: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """`warp_corr_packed` on unpacked source features (packs internally)."""
+    return warp_corr_packed(pack_bilinear(src_fea), ref_fea, proj,
+                            depth_samples, groups)
 
 
 def invert_projection(proj: jnp.ndarray) -> jnp.ndarray:

@@ -26,6 +26,10 @@ if _xb.backends_are_initialized():
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from itermvs_tpu.utils import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 @pytest.fixture
 def rng():

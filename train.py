@@ -32,6 +32,9 @@ from itermvs_tpu.engine.train_loop import (
 )
 from itermvs_tpu.models import Pipeline
 from itermvs_tpu.parallel.mesh import make_mesh, shard_batch
+from itermvs_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
 
 parser = argparse.ArgumentParser(
     description="IterMVS for high-resolution multi-view stereo")
