@@ -83,7 +83,12 @@ def gather_bilinear(packed: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
     idx = by * w + bx                                        # [B, P]
     if b > 1:
         idx = idx + (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
-    vals = jnp.take(packed.reshape(b * h * w, c4), idx.reshape(-1), axis=0)
+    # Indices are in-bounds by construction (_axis_taps clamps the
+    # base). mode="clip" clamps the [P] index vector (cheap) instead of
+    # the default fill mode's compare+select pass over the gathered
+    # [P, 4C] block (~1.5 ms per init-branch view at DTU eval size).
+    vals = jnp.take(packed.reshape(b * h * w, c4), idx.reshape(-1), axis=0,
+                    mode="clip")
     v = vals.reshape(b, -1, 4, c)
     wgt = jnp.stack([wy_a * wx_a, wy_a * wx_b, wy_b * wx_a, wy_b * wx_b],
                     axis=-1)                                 # [B, P, 4]

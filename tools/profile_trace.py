@@ -47,34 +47,29 @@ def main():
     with gzip.open(paths[0], "rt") as f:
         trace = json.load(f)
 
-    # Aggregate complete events on device tracks by name.
+    # Track (pid/tid) names from metadata events.
+    tracks = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            tracks[ev.get("pid")] = (ev.get("args") or {}).get("name", "?")
+
+    # Aggregate complete events per (track, name).
     totals = collections.Counter()
     counts = collections.Counter()
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
-        name = ev.get("name", "")
-        dur = ev.get("dur", 0)  # microseconds
-        args = ev.get("args") or {}
-        # Keep only device (TensorCore) events: they carry run ids/hlo info.
-        if "run_id" in args or "hlo_op" in args or "correlation_id" in args:
-            key = name
-        else:
-            key = None
-        if key:
-            totals[key] += dur
-            counts[key] += 1
+        pid = ev.get("pid")
+        key = (tracks.get(pid, str(pid)), ev.get("name", "?"))
+        totals[key] += ev.get("dur", 0)
+        counts[key] += 1
 
-    if not totals:  # fallback: aggregate everything phase-X
-        for ev in trace.get("traceEvents", []):
-            if ev.get("ph") == "X":
-                totals[ev.get("name", "?")] += ev.get("dur", 0)
-                counts[ev.get("name", "?")] += 1
-
+    print("tracks:", sorted(set(tracks.values())))
     grand = sum(totals.values())
-    print(f"total device-event time: {grand / 1e3:.1f} ms over 3 steps\n")
-    for name, dur in totals.most_common(45):
-        print(f"{dur / 1e3 / 3:9.3f} ms/step  x{counts[name]:4d}  {name[:110]}")
+    print(f"total event time: {grand / 1e3:.1f} ms over 3 steps\n")
+    for (track, name), dur in totals.most_common(60):
+        print(f"{dur / 1e3 / 3:9.3f} ms/step  x{counts[(track, name)]:4d}  "
+              f"[{track[:28]}] {name[:100]}")
 
 
 if __name__ == "__main__":
