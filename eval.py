@@ -41,6 +41,10 @@ parser.add_argument("--loadckpt", default=None, help="load a specific checkpoint
 parser.add_argument("--outdir", default="./outputs", help="output dir")
 parser.add_argument("--display", action="store_true", help="display depth images and masks")
 parser.add_argument("--iteration", type=int, default=4, help="num of iteration of GRU")
+parser.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute precision: float32 = reference parity; "
+                         "bfloat16 = TPU MXU fast path (heads stay float32)")
 parser.add_argument("--geo_pixel_thres", type=float, default=1,
                     help="pixel threshold for geometric consistency filtering")
 parser.add_argument("--geo_depth_thres", type=float, default=0.01,
@@ -88,7 +92,8 @@ def save_depth(args, img_wh):
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=4,
                         drop_last=False)
 
-    model = Pipeline(iteration=args.iteration, test=True)
+    model = Pipeline(iteration=args.iteration, test=True,
+                     dtype=jnp.dtype(args.precision))
     print(f"loading model {args.loadckpt}")
     variables = load_variables(args.loadckpt)
 

@@ -5,14 +5,21 @@ Functional equivalents of the reference's block zoo
 strided-BN downsampling skip, and the dilated ConvGRU. All convolutions
 run in NHWC/HWIO — the TPU-native layout — and BN matches torch
 BatchNorm2d defaults (eps 1e-5, momentum 0.1 ⇒ flax momentum 0.9).
+
+Every block takes a `dtype` (computation dtype): float32 for exact
+reference parity, bfloat16 for the fast MXU path. Parameters are always
+stored float32 (`param_dtype`); bf16 mode casts activations + params at
+the conv inputs only.
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+Dtype = Any
 
 
 class Conv(nn.Module):
@@ -23,6 +30,7 @@ class Conv(nn.Module):
     pad: int = 1
     dilation: int = 1
     use_bias: bool = True
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -33,6 +41,8 @@ class Conv(nn.Module):
             padding=((self.pad, self.pad), (self.pad, self.pad)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
             name="conv",
         )(x)
 
@@ -52,6 +62,7 @@ class ConvTranspose(nn.Module):
     pad: int = 1
     output_padding: int = 1
     use_bias: bool = False
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -64,7 +75,7 @@ class ConvTranspose(nn.Module):
         lo = self.kernel - 1 - self.pad
         hi = lo + self.output_padding
         y = jax.lax.conv_general_dilated(
-            x, kernel,
+            x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=((lo, hi), (lo, hi)),
             lhs_dilation=(self.stride, self.stride),
@@ -72,18 +83,22 @@ class ConvTranspose(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(self.dtype)
         return y
 
 
 class BatchNorm(nn.Module):
     """torch-default BatchNorm2d: eps 1e-5, running-stat momentum 0.1."""
+    dtype: Dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool):
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
             name="bn",
         )(x)
 
@@ -94,12 +109,13 @@ class ConvBnReLU(nn.Module):
     stride: int = 1
     pad: int = 1
     dilation: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv(self.features, self.kernel, self.stride, self.pad,
-                 self.dilation, use_bias=False, name="conv")(x)
-        x = BatchNorm(name="bn")(x, train)
+                 self.dilation, use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
         return nn.relu(x)
 
 
@@ -109,12 +125,13 @@ class ConvBn(nn.Module):
     stride: int = 1
     pad: int = 1
     dilation: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv(self.features, self.kernel, self.stride, self.pad,
-                 self.dilation, use_bias=False, name="conv")(x)
-        return BatchNorm(name="bn")(x, train)
+                 self.dilation, use_bias=False, dtype=self.dtype, name="conv")(x)
+        return BatchNorm(dtype=self.dtype, name="bn")(x, train)
 
 
 class ConvReLU(nn.Module):
@@ -123,36 +140,44 @@ class ConvReLU(nn.Module):
     stride: int = 1
     pad: int = 1
     dilation: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = Conv(self.features, self.kernel, self.stride, self.pad,
-                 self.dilation, use_bias=False, name="conv")(x)
+                 self.dilation, use_bias=False, dtype=self.dtype, name="conv")(x)
         return nn.relu(x)
 
 
 class ResidualBlock(nn.Module):
     features: int
     stride: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBnReLU(self.features, stride=self.stride, name="conv1")(x, train)
-        y = ConvBn(self.features, name="conv2")(y, train)
+        y = ConvBnReLU(self.features, stride=self.stride, dtype=self.dtype,
+                       name="conv1")(x, train)
+        y = ConvBn(self.features, dtype=self.dtype, name="conv2")(y, train)
         if self.stride != 1:
-            x = ConvBn(self.features, stride=self.stride, name="downsample")(x, train)
+            x = ConvBn(self.features, stride=self.stride, dtype=self.dtype,
+                       name="downsample")(x, train)
         return nn.relu(x + y)
 
 
 class ConvGRU(nn.Module):
     """Convolutional GRU with 3×3 dilation-2 gates (module.py:52-66)."""
     hidden_dim: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, x):
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(Conv(self.hidden_dim, 3, pad=2, dilation=2, name="convz")(hx))
-        r = nn.sigmoid(Conv(self.hidden_dim, 3, pad=2, dilation=2, name="convr")(hx))
-        rh_x = jnp.concatenate([r * h, x], axis=-1)
-        q = nn.tanh(Conv(self.hidden_dim, 3, pad=2, dilation=2, name="convq")(rh_x))
+        hx = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
+        z = nn.sigmoid(Conv(self.hidden_dim, 3, pad=2, dilation=2,
+                            dtype=self.dtype, name="convz")(hx))
+        r = nn.sigmoid(Conv(self.hidden_dim, 3, pad=2, dilation=2,
+                            dtype=self.dtype, name="convr")(hx))
+        rh_x = jnp.concatenate([r * h, x.astype(h.dtype)], axis=-1)
+        q = nn.tanh(Conv(self.hidden_dim, 3, pad=2, dilation=2,
+                         dtype=self.dtype, name="convq")(rh_x))
         return (1.0 - z) * h + z * q

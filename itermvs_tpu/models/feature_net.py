@@ -13,6 +13,9 @@ The reference also defines an `inner3` lateral that is never used
 """
 from __future__ import annotations
 
+from typing import Any
+
+import jax.numpy as jnp
 import flax.linen as nn
 
 from itermvs_tpu.models.blocks import Conv, ConvBnReLU, ResidualBlock
@@ -20,20 +23,26 @@ from itermvs_tpu.ops.resize import upsample_bilinear
 
 
 class FeatureNet(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: [N, H, W, 3] → dict of level1/2/3 features, NHWC."""
-        fea0 = ConvBnReLU(8, name="conv1")(x, train)
-        fea1 = ResidualBlock(16, stride=2, name="layer1_0")(fea0, train)
-        fea1 = ResidualBlock(16, name="layer1_1")(fea1, train)
-        fea2 = ResidualBlock(32, stride=2, name="layer2_0")(fea1, train)
-        fea2 = ResidualBlock(32, name="layer2_1")(fea2, train)
-        fea3 = ResidualBlock(48, stride=2, name="layer3_0")(fea2, train)
-        fea3 = ResidualBlock(48, name="layer3_1")(fea3, train)
+        dt = self.dtype
+        x = x.astype(dt)
+        fea0 = ConvBnReLU(8, dtype=dt, name="conv1")(x, train)
+        fea1 = ResidualBlock(16, stride=2, dtype=dt, name="layer1_0")(fea0, train)
+        fea1 = ResidualBlock(16, dtype=dt, name="layer1_1")(fea1, train)
+        fea2 = ResidualBlock(32, stride=2, dtype=dt, name="layer2_0")(fea1, train)
+        fea2 = ResidualBlock(32, dtype=dt, name="layer2_1")(fea2, train)
+        fea3 = ResidualBlock(48, stride=2, dtype=dt, name="layer3_0")(fea2, train)
+        fea3 = ResidualBlock(48, dtype=dt, name="layer3_1")(fea3, train)
 
-        level3 = Conv(48, 3, name="output3")(fea3)
-        intra = upsample_bilinear(fea3, 2) + Conv(48, 1, pad=0, name="inner2")(fea2)
-        level2 = Conv(32, 3, name="output2")(intra)
-        intra = upsample_bilinear(intra, 2) + Conv(48, 1, pad=0, name="inner1")(fea1)
-        level1 = Conv(16, 3, name="output1")(intra)
+        level3 = Conv(48, 3, dtype=dt, name="output3")(fea3)
+        intra = (upsample_bilinear(fea3, 2)
+                 + Conv(48, 1, pad=0, dtype=dt, name="inner2")(fea2))
+        level2 = Conv(32, 3, dtype=dt, name="output2")(intra)
+        intra = (upsample_bilinear(intra, 2)
+                 + Conv(48, 1, pad=0, dtype=dt, name="inner1")(fea1))
+        level1 = Conv(16, 3, dtype=dt, name="output1")(intra)
         return {"level1": level1, "level2": level2, "level3": level3}

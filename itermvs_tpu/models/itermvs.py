@@ -97,44 +97,49 @@ def windowed_expectation(probability: jnp.ndarray) -> jnp.ndarray:
 
 class PixelViewWeight(nn.Module):
     """Per-pixel source-view weight (reference itermvs.py:333-350)."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, corr):
         """corr: [B, N, H, W, G] → weight [B, H, W, 1]."""
         b, n, h, w, g = corr.shape
         x = corr.reshape(b * n, h, w, g)
-        x = ConvReLU(16, name="conv0")(x)
-        x = Conv(1, 1, pad=0, name="conv1")(x)
-        x = x.reshape(b, n, h, w)
+        x = ConvReLU(16, dtype=self.dtype, name="conv0")(x)
+        x = Conv(1, 1, pad=0, dtype=self.dtype, name="conv1")(x)
+        x = x.reshape(b, n, h, w).astype(jnp.float32)
         x = jax.nn.softmax(x, axis=1)
         return jnp.max(x, axis=1)[..., None]
 
 
 class CorrNet(nn.Module):
     """Per-depth-slice 2D encoder-decoder on correlation (itermvs.py:352-381)."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, corr):
-        """corr: [B, N, H, W, G] → score volume [B, N, H, W]."""
+        """corr: [B, N, H, W, G] → score volume [B, N, H, W] (float32)."""
+        dt = self.dtype
         b, n, h, w, g = corr.shape
         x = corr.reshape(b * n, h, w, g)
-        conv0 = ConvReLU(8, name="conv0")(x)
-        conv1 = ConvReLU(16, stride=2, name="conv1")(conv0)
-        x = ConvReLU(32, stride=2, name="conv2")(conv1)
-        x = conv1 + ConvTranspose(16, name="conv3")(x)
-        x = conv0 + ConvTranspose(8, name="conv4")(x)
-        x = Conv(1, 3, name="conv5")(x)
-        return x.reshape(b, n, h, w)
+        conv0 = ConvReLU(8, dtype=dt, name="conv0")(x)
+        conv1 = ConvReLU(16, stride=2, dtype=dt, name="conv1")(conv0)
+        x = ConvReLU(32, stride=2, dtype=dt, name="conv2")(conv1)
+        x = conv1 + ConvTranspose(16, dtype=dt, name="conv3")(x)
+        x = conv0 + ConvTranspose(8, dtype=dt, name="conv4")(x)
+        x = Conv(1, 3, dtype=dt, name="conv5")(x)
+        return x.reshape(b, n, h, w).astype(jnp.float32)
 
 
 class Evaluation(nn.Module):
     """Plane-sweep matching: warp + group corr + view-weighted aggregation."""
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.pixel_view_weight = PixelViewWeight(name="pixel_view_weight")
-        self.corr_net1 = CorrNet(name="corr_net1")
-        self.corr_net2 = CorrNet(name="corr_net2")
-        self.corr_net3 = CorrNet(name="corr_net3")
+        self.pixel_view_weight = PixelViewWeight(dtype=self.dtype,
+                                                 name="pixel_view_weight")
+        self.corr_net1 = CorrNet(dtype=self.dtype, name="corr_net1")
+        self.corr_net2 = CorrNet(dtype=self.dtype, name="corr_net2")
+        self.corr_net3 = CorrNet(dtype=self.dtype, name="corr_net3")
 
     def _corr_net(self, level: int) -> CorrNet:
         return (self.corr_net1, self.corr_net2, self.corr_net3)[level - 1]
@@ -229,27 +234,34 @@ class Evaluation(nn.Module):
 class Update(nn.Module):
     """ConvGRU + depth/confidence heads (reference itermvs.py:129-220)."""
     hidden_dim: int = 32
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.gru = ConvGRU(self.hidden_dim, name="gru")
+        dt = self.dtype
+        self.gru = ConvGRU(self.hidden_dim, dtype=dt, name="gru")
         self.depth_conv0 = Conv(32, 3, pad=2, dilation=2, use_bias=False,
-                                name="depth_conv0")
-        self.depth_conv1 = Conv(64, 1, pad=0, use_bias=False, name="depth_conv1")
-        self.depth_conv2 = Conv(NUM_BINS, 1, pad=0, name="depth_conv2")
+                                dtype=dt, name="depth_conv0")
+        self.depth_conv1 = Conv(64, 1, pad=0, use_bias=False, dtype=dt,
+                                name="depth_conv1")
+        self.depth_conv2 = Conv(NUM_BINS, 1, pad=0, dtype=dt, name="depth_conv2")
         self.conf_conv0 = Conv(32, 3, pad=2, dilation=2, use_bias=False,
-                               name="conf_conv0")
-        self.conf_conv1 = Conv(1, 1, pad=0, name="conf_conv1")
-        self.hidden_conv0 = Conv(64, 3, use_bias=False, name="hidden_conv0")
-        self.hidden_conv1 = Conv(self.hidden_dim, 1, pad=0, name="hidden_conv1")
+                               dtype=dt, name="conf_conv0")
+        self.conf_conv1 = Conv(1, 1, pad=0, dtype=dt, name="conf_conv1")
+        self.hidden_conv0 = Conv(64, 3, use_bias=False, dtype=dt,
+                                 name="hidden_conv0")
+        self.hidden_conv1 = Conv(self.hidden_dim, 1, pad=0, dtype=dt,
+                                 name="hidden_conv1")
 
     def _depth_head(self, hidden):
         x = nn.relu(self.depth_conv0(hidden))
         x = nn.relu(self.depth_conv1(x))
-        return self.depth_conv2(x)                           # [B,H,W,256] logits
+        # float32 logits: the 256-bin softmax + windowed expectation are
+        # precision-critical (depth readout granularity is 1/255).
+        return self.depth_conv2(x).astype(jnp.float32)       # [B,H,W,256]
 
     def _confidence_head(self, hidden):
         x = nn.relu(self.conf_conv0(hidden))
-        return self.conf_conv1(x)                            # [B,H,W,1] logits
+        return self.conf_conv1(x).astype(jnp.float32)        # [B,H,W,1]
 
     def hidden_init(self, score_volume):
         """[B, H8, W8, 32] level-3 score volume → hidden [B, H4, W4, hidden]."""
@@ -288,19 +300,21 @@ class IterMVS(nn.Module):
     iteration: int = 4
     hidden_dim: int = 32
     test: bool = False
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.evaluation = Evaluation(name="evaluation")
-        self.update = Update(self.hidden_dim, name="update")
-        self.upsample_conv0 = Conv(64, 3, use_bias=False, name="upsample_conv0")
+        self.evaluation = Evaluation(dtype=self.dtype, name="evaluation")
+        self.update = Update(self.hidden_dim, dtype=self.dtype, name="update")
+        self.upsample_conv0 = Conv(64, 3, use_bias=False, dtype=self.dtype,
+                                   name="upsample_conv0")
         self.upsample_conv1 = Conv(16 * 9, 1, pad=0, use_bias=False,
-                                   name="upsample_conv1")
+                                   dtype=self.dtype, name="upsample_conv1")
 
     def _upsample_weights(self, ref_level2):
         """Convex-upsample tap weights [B, H4, W4, 9, 4, 4] (itermvs.py:246-250)."""
         b, h, w, _ = ref_level2.shape
         x = nn.relu(self.upsample_conv0(ref_level2))
-        x = self.upsample_conv1(x)                           # [B,H,W,144]
+        x = self.upsample_conv1(x).astype(jnp.float32)       # [B,H,W,144]
         x = x.reshape(b, h, w, 9, 4, 4)
         return jax.nn.softmax(x, axis=3)
 

@@ -16,6 +16,8 @@ TPU-native differences from the reference:
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -25,13 +27,22 @@ from itermvs_tpu.ops.warping import relative_projection
 
 
 class Pipeline(nn.Module):
+    """IterMVS pipeline.
+
+    `dtype` selects the compute precision: float32 (default) is
+    bit-parity with the reference; bfloat16 runs convolutions, features
+    and gather tables on the MXU fast path while keeping geometry,
+    probability softmaxes, depth readout and all head outputs float32.
+    Parameters are float32 in both modes (same checkpoints).
+    """
     iteration: int = 4
     test: bool = False
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.feature_net = FeatureNet(name="feature_net")
+        self.feature_net = FeatureNet(dtype=self.dtype, name="feature_net")
         self.iter_mvs = IterMVS(iteration=self.iteration, test=self.test,
-                                name="iter_mvs")
+                                dtype=self.dtype, name="iter_mvs")
 
     def __call__(self, imgs, proj_matrices, depth_min, depth_max,
                  train: bool = False):

@@ -6,42 +6,71 @@ models/module.py:118-119): normalized coords in [-1, 1] map to pixel
 centers `p = (g + 1) / 2 * (size - 1)`, and each of the four bilinear
 corners contributes 0 when it falls outside the image.
 
-TPU formulation — corner-packed single gather. Instead of four separate
-row gathers (one per bilinear corner), the source is expanded once into
-a corner-packed tensor `[..., H, W, 4C]` holding the values at
-(y, x), (y, x+1), (y+1, x), (y+1, x+1) — shifted copies, zero-filled at
-the far edges — so every output sample is ONE flat single-axis
-`jnp.take` row gather of 4C channels plus a 4-tap weighted sum. On TPU
-this hits XLA's vectorized dynamic-gather path and measures ~25x faster
-than the 4-gather / batched-take_along_axis formulation it replaces.
+TPU formulation — corner-packed row gathers with an adaptive packing
+factor. Instead of four separate batched take_along_axis gathers (one
+per bilinear corner, a scalarized path on TPU), the source is expanded
+once into a corner-packed tensor holding 4, 2, or 1 bilinear corners
+per row — shifted copies, zero-filled at the far edges — and each
+output sample costs 1, 2, or 4 flat single-axis `jnp.take` row gathers
+plus the tap-weighted sum.
+
+Full 4-corner packing is the default and measures fastest everywhere:
+XLA:TPU row-gather cost is row-count-bound (~10 ns/row from HBM,
+~3 ns/row for tables small enough to sit in VMEM, measured on v5e via
+device trace), so one gather of 4C-channel rows beats two or four
+gathers of narrower rows even though the packed table is 4x the
+features. The 2-/1-corner modes exist for memory-constrained cases
+(the packed table is 4x the source features) and are covered by the
+same parity tests.
 
 Zeros-padding semantics at the borders come from two facts:
   (a) packing zero-fills the +1 shifts at the image edge, so
-      out-of-range x+1 / y+1 corners contribute exactly 0;
+      out-of-range packed corners contribute exactly 0;
   (b) when floor(x) itself is out of range, the gather base is clamped
       into the image and the per-axis tap weights are re-derived
       against the clamped base (`_axis_taps`): the weight moves to the
       surviving in-bounds corner, or to zero when both corners are
-      outside — identical to per-corner validity masking.
+      outside — identical to per-corner validity masking. For corners
+      fetched by an explicitly clamped second gather (the 2-/1-corner
+      modes), the same zeroing is applied to the +1 tap weight at the
+      image edge (`_axis_taps_pair`).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
+class PackedSource(NamedTuple):
+    """Corner-packed source features.
 
-def pack_corners(src: jnp.ndarray) -> jnp.ndarray:
-    """Corner-pack `[..., H, W, C]` features into `[..., H, W, 4C]`.
+    data: [B, H, W, corners*C]; corners in {4, 2, 1}:
+      4 -> slots (y,x), (y,x+1), (y+1,x), (y+1,x+1)
+      2 -> slots (y,x), (y,x+1)           (x-pair; y via 2 gathers)
+      1 -> unpacked                        (4 gathers)
+    """
+    data: jnp.ndarray
+    corners: int
 
-    Slot k of the last axis holds the value at the bilinear corner
-    (y + k//2, x + k%2); +1 shifts are zero-filled at the image edge.
+
+def pack_corners(src: jnp.ndarray, corners: int = 4) -> PackedSource:
+    """Corner-pack `[..., H, W, C]` features for fast bilinear gathers.
+
     Done once per source map, reused by every gather against it (the
     GRU loop re-warps the same source features every iteration).
+    4 corners per row (the default) minimizes gather row count, which
+    is what the XLA:TPU gather path is bound by; pass 2 or 1 to trade
+    gather count for a 2x/4x smaller table.
     """
     lead = [(0, 0)] * (src.ndim - 3)
+    if corners == 1:
+        return PackedSource(src, 1)
     sx = jnp.pad(src[..., :, 1:, :], lead + [(0, 0), (0, 1), (0, 0)])
+    if corners == 2:
+        return PackedSource(jnp.concatenate([src, sx], axis=-1), 2)
     sy = jnp.pad(src[..., 1:, :, :], lead + [(0, 1), (0, 0), (0, 0)])
     sxy = jnp.pad(src[..., 1:, 1:, :], lead + [(0, 1), (0, 1), (0, 0)])
-    return jnp.concatenate([src, sx, sy, sxy], axis=-1)
+    return PackedSource(jnp.concatenate([src, sx, sy, sxy], axis=-1), 4)
 
 
 def _axis_taps(p: jnp.ndarray, size: int):
@@ -65,34 +94,67 @@ def _axis_taps(p: jnp.ndarray, size: int):
     return base.astype(jnp.int32), w_a, w_b
 
 
-def gather_bilinear(packed: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
-                    ) -> jnp.ndarray:
-    """Sample corner-packed `[B, H, W, 4C]` at pixel coords `px, py` [B, ...].
+def _axis_taps_pair(p: jnp.ndarray, size: int):
+    """`_axis_taps` for corners fetched by an explicit second gather.
 
-    Returns `[B, ..., C]`. One flat row gather + 4-tap weighted sum.
+    Without zero-filled packing along this axis, the +1 corner at the
+    image edge must lose its weight (the 4-corner mode gets this for
+    free from the zero fill); the second gather index is clamped.
     """
-    b, h, w, c4 = packed.shape
-    c = c4 // 4
+    base, w_a, w_b = _axis_taps(p, size)
+    w_b = w_b * (base < size - 1)
+    base2 = jnp.minimum(base + 1, size - 1)
+    return base, base2, w_a, w_b
+
+
+def _flat_take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather. Indices are in-bounds by construction; mode="clip"
+    clamps the [P] index vector (cheap) instead of the default fill
+    mode's compare+select pass over the gathered [P, kC] block."""
+    return jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
+
+
+def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Sample a `PackedSource` at pixel coords `px, py` [B, ...].
+
+    Returns `[B, ..., C]`. 1, 2, or 4 flat row gathers (by packing
+    factor) + tap-weighted sum; identical math in all modes.
+    """
+    data = packed.data
+    corners = packed.corners
+    b, h, w, ck = data.shape
+    c = ck // corners
     out_shape = px.shape[1:]
     px = px.reshape(b, -1)
     py = py.reshape(b, -1)
+    table = data.reshape(b * h * w, ck)
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None] if b > 1 else 0
 
-    bx, wx_a, wx_b = _axis_taps(px, w)
-    by, wy_a, wy_b = _axis_taps(py, h)
-
-    idx = by * w + bx                                        # [B, P]
-    if b > 1:
-        idx = idx + (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
-    # Indices are in-bounds by construction (_axis_taps clamps the
-    # base). mode="clip" clamps the [P] index vector (cheap) instead of
-    # the default fill mode's compare+select pass over the gathered
-    # [P, 4C] block (~1.5 ms per init-branch view at DTU eval size).
-    vals = jnp.take(packed.reshape(b * h * w, c4), idx.reshape(-1), axis=0,
-                    mode="clip")
-    v = vals.reshape(b, -1, 4, c)
-    wgt = jnp.stack([wy_a * wx_a, wy_a * wx_b, wy_b * wx_a, wy_b * wx_b],
-                    axis=-1)                                 # [B, P, 4]
-    out = jnp.sum(v * wgt[..., None], axis=2)                # [B, P, C]
+    if corners == 4:
+        bx, wx_a, wx_b = _axis_taps(px, w)
+        by, wy_a, wy_b = _axis_taps(py, h)
+        vals = _flat_take(table, by * w + bx + boff)
+        v = vals.reshape(b, -1, 4, c)
+        wgt = jnp.stack([wy_a * wx_a, wy_a * wx_b, wy_b * wx_a, wy_b * wx_b],
+                        axis=-1)                             # [B, P, 4]
+        out = jnp.sum(v * wgt[..., None], axis=2)            # [B, P, C]
+    elif corners == 2:
+        bx, wx_a, wx_b = _axis_taps(px, w)
+        by, by2, wy_a, wy_b = _axis_taps_pair(py, h)
+        top = _flat_take(table, by * w + bx + boff).reshape(b, -1, 2, c)
+        bot = _flat_take(table, by2 * w + bx + boff).reshape(b, -1, 2, c)
+        row = top * wy_a[..., None, None] + bot * wy_b[..., None, None]
+        out = (row[:, :, 0] * wx_a[..., None] + row[:, :, 1] * wx_b[..., None])
+    else:
+        bx, bx2, wx_a, wx_b = _axis_taps_pair(px, w)
+        by, by2, wy_a, wy_b = _axis_taps_pair(py, h)
+        v00 = _flat_take(table, by * w + bx + boff).reshape(b, -1, c)
+        v01 = _flat_take(table, by * w + bx2 + boff).reshape(b, -1, c)
+        v10 = _flat_take(table, by2 * w + bx + boff).reshape(b, -1, c)
+        v11 = _flat_take(table, by2 * w + bx2 + boff).reshape(b, -1, c)
+        out = (v00 * (wy_a * wx_a)[..., None] + v01 * (wy_a * wx_b)[..., None]
+               + v10 * (wy_b * wx_a)[..., None] + v11 * (wy_b * wx_b)[..., None])
     return out.reshape(b, *out_shape, c)
 
 

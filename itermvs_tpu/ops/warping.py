@@ -81,18 +81,20 @@ def _projection_pixels(proj: jnp.ndarray, depth_samples: jnp.ndarray,
     return jax.lax.stop_gradient(grid_px), jax.lax.stop_gradient(grid_py)
 
 
-def pack_bilinear(src_fea: jnp.ndarray) -> jnp.ndarray:
-    """Corner-pack source features `[..., H1, W1, C]` → `[..., H1, W1, 4C]`.
+def pack_bilinear(src_fea: jnp.ndarray):
+    """Corner-pack source features `[B, H1, W1, C]` → `PackedSource`.
 
     Build once per (view, level); every warp against the same source —
-    the init sweep and all GRU iterations — reuses it.
+    the init sweep and all GRU iterations — reuses it. The packing
+    factor (4/2/1 corners per gather row) adapts to the XLA fast-gather
+    table-size limit (see ops/grid_sample.py).
     """
     return pack_corners(src_fea)
 
 
-def differentiable_warp_packed(packed_src: jnp.ndarray, proj: jnp.ndarray,
+def differentiable_warp_packed(packed_src, proj: jnp.ndarray,
                                depth_samples: jnp.ndarray) -> jnp.ndarray:
-    """Warp corner-packed `[B, H1, W1, 4C]` source features.
+    """Warp corner-packed (`PackedSource`) source features.
 
     Args:
       proj: [B, 4, 4] relative projection `src_proj @ inv(ref_proj)`.
@@ -100,7 +102,7 @@ def differentiable_warp_packed(packed_src: jnp.ndarray, proj: jnp.ndarray,
 
     Returns warped features [B, N, H, W, C].
     """
-    px, py = _projection_pixels(proj, depth_samples, packed_src.shape[1:3])
+    px, py = _projection_pixels(proj, depth_samples, packed_src.data.shape[1:3])
     return gather_bilinear(packed_src, px, py)
 
 
@@ -118,13 +120,13 @@ def differentiable_warp(src_fea: jnp.ndarray, proj: jnp.ndarray,
                                       depth_samples)
 
 
-def warp_corr_packed(packed_src: jnp.ndarray, ref_fea: jnp.ndarray,
+def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
                      proj: jnp.ndarray, depth_samples: jnp.ndarray,
                      groups: int) -> jnp.ndarray:
     """Fused warp + group-wise correlation on corner-packed features.
 
     Args:
-      packed_src: [B, H1, W1, 4C] from `pack_bilinear`.
+      packed_src: `PackedSource` from `pack_bilinear`.
       ref_fea: [B, H, W, C] reference features at depth-grid resolution.
       proj: [B, 4, 4] relative projection.
       depth_samples: [B, N, H, W].
@@ -134,7 +136,7 @@ def warp_corr_packed(packed_src: jnp.ndarray, ref_fea: jnp.ndarray,
     C/G in-group channels of (warped ⊙ ref).
     """
     b, n, h, w = depth_samples.shape
-    c = packed_src.shape[-1] // 4
+    c = packed_src.data.shape[-1] // packed_src.corners
     cg = c // groups
     warped = differentiable_warp_packed(packed_src, proj, depth_samples)
     prod = warped.reshape(b, n, h, w, groups, cg) * ref_fea.reshape(

@@ -175,3 +175,22 @@ def test_depth_normalization_roundtrip(rng):
     back = depth_unnormalization(nd, idmin, idmax)
     np.testing.assert_allclose(np.asarray(back), np.asarray(d), rtol=1e-4)
     assert np.all(np.asarray(nd) >= -1e-4) and np.all(np.asarray(nd) <= 1 + 1e-4)
+
+
+def test_pack_modes_agree(rng):
+    """4/2/1-corner packings produce identical samples (incl. OOB)."""
+    from itermvs_tpu.ops.grid_sample import gather_bilinear, pack_corners
+
+    src = rng.rand(2, 11, 17, 8).astype(np.float32)
+    grid = (rng.rand(2, 9, 13, 2).astype(np.float32) * 3.0 - 1.5)
+    px = (grid[..., 0] + 1.0) * 0.5 * (17 - 1)
+    py = (grid[..., 1] + 1.0) * 0.5 * (11 - 1)
+    src_j, px_j, py_j = jnp.asarray(src), jnp.asarray(px), jnp.asarray(py)
+    outs = [np.asarray(gather_bilinear(pack_corners(src_j, corners=k),
+                                       px_j, py_j))
+            for k in (4, 2, 1)]
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-6)
+    np.testing.assert_allclose(outs[2], outs[0], atol=1e-6)
+    # and the adaptive default matches too
+    auto = np.asarray(gather_bilinear(pack_corners(src_j), px_j, py_j))
+    np.testing.assert_allclose(auto, outs[0], atol=1e-6)
