@@ -164,21 +164,23 @@ class Evaluation(nn.Module):
         num_views = len(src_features)
         num_sample = depth_samples.shape[1]
 
-        corr_sum = 0.0
-        weight_sum = 1e-5
-        view_weights = []
-        for v in range(num_views):
-            corr = warp_corr_packed(src_features[v], ref_feature,
-                                    rel_projs[:, v], depth_samples,
-                                    GROUPS)                  # [B,N,H,W,G]
-            weight = self.pixel_view_weight(corr)            # [B,H,W,1]
-            view_weights.append(upsample_bilinear(weight, 2))
-            corr_sum = corr_sum + corr * weight[:, None]
-            weight_sum = weight_sum + weight[:, None]
-        correlation = corr_sum / weight_sum                  # [B,N,H,W,G]
+        # Warps stay per view (separate gather tables keep the fast
+        # gather path); the view-weight convs and the weighted
+        # aggregation run batched over the view axis.
+        corr = jnp.stack([
+            warp_corr_packed(src_features[v], ref_feature, rel_projs[:, v],
+                             depth_samples, GROUPS)
+            for v in range(num_views)
+        ], axis=1)                                           # [B,V,N,H,W,G]
+        b, _, n, h, w, g = corr.shape
+        weight = self.pixel_view_weight(
+            corr.reshape(b * num_views, n, h, w, g))         # [B·V,H,W,1]
+        weight = weight.reshape(b, num_views, h, w)
+        correlation = jnp.einsum("bvnhwg,bvhw->bnhwg", corr, weight) / (
+            1e-5 + jnp.sum(weight, axis=1)[:, None, :, :, None])
 
         score = self._corr_net(3)(correlation)               # [B,N,H,W]
-        view_weights = jnp.stack(view_weights, axis=1)       # [B,V-1,H4,W4,1]
+        view_weights = upsample_bilinear(weight[..., None], 2)  # [B,V-1,H4,W4,1]
 
         probability = jax.nn.softmax(score, axis=1)
         index = jnp.arange(num_sample, dtype=jnp.float32).reshape(1, num_sample, 1, 1)
@@ -212,20 +214,20 @@ class Evaluation(nn.Module):
         """
         view_weights = jax.lax.stop_gradient(view_weights)
         num_views = view_weights.shape[1]
+        w_hw = view_weights[..., 0]                           # [B,V,H4,W4]
+        weight_sum = 1e-5 + jnp.sum(w_hw, axis=1)[:, None, :, :, None]
         correlations = []
         for level in (1, 2, 3):
             key = f"level{level}"
             ref = ref_features[key]
             samples = depth_samples[key]
-            corr_sum = 0.0
-            weight_sum = 1e-5
-            for v in range(num_views):
-                corr = warp_corr_packed(src_features[key][v], ref,
-                                        rel_projs[key][:, v], samples, GROUPS)
-                weight = view_weights[:, v][:, None]          # [B,1,H,W,1]
-                corr_sum = corr_sum + corr * weight
-                weight_sum = weight_sum + weight
-            score = self._corr_net(level)(corr_sum / weight_sum)  # [B,Nl,H,W]
+            corr = jnp.stack([
+                warp_corr_packed(src_features[key][v], ref,
+                                 rel_projs[key][:, v], samples, GROUPS)
+                for v in range(num_views)
+            ], axis=1)                                        # [B,V,Nl,H,W,G]
+            agg = jnp.einsum("bvnhwg,bvhw->bnhwg", corr, w_hw) / weight_sum
+            score = self._corr_net(level)(agg)                # [B,Nl,H,W]
             correlations.append(score)
         out = jnp.concatenate(correlations, axis=1)           # [B,10,H4,W4]
         return out.transpose(0, 2, 3, 1)                      # [B,H4,W4,10]

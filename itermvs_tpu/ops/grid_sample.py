@@ -138,7 +138,12 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
         v = vals.reshape(b, -1, 4, c)
         wgt = jnp.stack([wy_a * wx_a, wy_a * wx_b, wy_b * wx_a, wy_b * wx_b],
                         axis=-1)                             # [B, P, 4]
-        out = jnp.sum(v * wgt[..., None], axis=2)            # [B, P, C]
+        # Tiny contraction over the 4 taps, f32 accumulate. As an
+        # einsum (not v * wgt then sum) so XLA fuses the bf16->f32
+        # convert of the gathered block into the reduce instead of
+        # materializing a f32 copy of it (~1 ms per warp at eval size).
+        out = jnp.einsum("bpkc,bpk->bpc", v, wgt,
+                         preferred_element_type=jnp.float32)  # [B, P, C]
     elif corners == 2:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, by2, wy_a, wy_b = _axis_taps_pair(py, h)

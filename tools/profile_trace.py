@@ -25,7 +25,9 @@ def main():
 
     width, height, views = 1152, 864, 5
     imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
-    model = Pipeline(iteration=4, test=True)
+    import jax.numpy as jnp
+
+    model = Pipeline(iteration=4, test=True, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
 
     @jax.jit
