@@ -45,6 +45,9 @@ parser.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"],
                     help="compute precision: float32 = reference parity; "
                          "bfloat16 = TPU MXU fast path (heads stay float32)")
+parser.add_argument("--debug_nans", action="store_true",
+                    help="abort with a traceback on the first NaN produced "
+                         "on device (jax_debug_nans)")
 parser.add_argument("--geo_pixel_thres", type=float, default=1,
                     help="pixel threshold for geometric consistency filtering")
 parser.add_argument("--geo_depth_thres", type=float, default=0.01,
@@ -161,6 +164,8 @@ def run_fusion(args, img_wh):
 
 if __name__ == "__main__":
     args = parser.parse_args()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     print("argv:", sys.argv[1:])
     for k, v in sorted(vars(args).items()):
         print(f"{k}: {v}")

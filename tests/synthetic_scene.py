@@ -123,3 +123,62 @@ def build_scene_dir(root, num_views=4, width=128, height=96, rng=None,
              for v in range(num_views)]
     write_pair_file(os.path.join(root, "pair.txt"), pairs)
     return cams, depths
+
+
+def build_dtu_training_dir(root, num_views=5, num_refs=1, scan="scan1",
+                           rng=None):
+    """Write a miniature DTU-training-layout dataset (analytic plane scene).
+
+    Layout matches itermvs_tpu.data.dtu / reference datasets/dtu_yao.py:
+      Cameras_1/pair.txt
+      Cameras_1/{scan}_train/{v:08d}_cam.txt     (K stored at 1/4 res)
+      Rectified/{scan}_train/rect_{v+1:03d}_{light}_r5000.png  (640x512)
+      Depths_raw/{scan}/depth_map_{v:04d}.pfm    (1600x1200)
+      Depths_raw/{scan}/depth_visual_{v:04d}.png (1600x1200 mask)
+
+    Depth maps are rendered at 1600x1200 with intrinsics chosen so the
+    loader's half-scale + 640x512 center crop aligns exactly with the
+    640x512 images (crop offsets sw=80, sh=44 at the 800x600 scale).
+    """
+    from PIL import Image
+
+    rng = rng or np.random.RandomState(0)
+    iw, ih = 640, 512
+    dw, dh = 1600, 1200
+    cams = make_cameras(num_views, iw, ih, rng)
+
+    cam_dir = os.path.join(root, f"Cameras_1/{scan}_train")
+    img_dir = os.path.join(root, f"Rectified/{scan}_train")
+    dep_dir = os.path.join(root, f"Depths_raw/{scan}")
+    for d in (cam_dir, img_dir, dep_dir):
+        os.makedirs(d, exist_ok=True)
+
+    for v, (K, E) in enumerate(cams):
+        rgb, _ = render_view(K, E, iw, ih)
+        img = Image.fromarray((rgb * 255).astype(np.uint8))
+        for light in range(7):
+            img.save(os.path.join(img_dir, f"rect_{v + 1:0>3}_{light}_r5000.png"))
+
+        # Depth intrinsics: half-scale then crop (80, 44) recovers K.
+        Kd = K.copy()
+        Kd[0, 0] *= 2.0
+        Kd[1, 1] *= 2.0
+        Kd[0, 2] = 2.0 * (K[0, 2] + 80.0)
+        Kd[1, 2] = 2.0 * (K[1, 2] + 44.0)
+        _, depth_hr = render_view(Kd, E, dw, dh)
+        save_pfm(os.path.join(dep_dir, f"depth_map_{v:0>4}.pfm"), depth_hr)
+        Image.fromarray(np.full((dh, dw), 255, np.uint8)).save(
+            os.path.join(dep_dir, f"depth_visual_{v:0>4}.png"))
+
+        write_cam_file(os.path.join(cam_dir, f"{v:0>8}_cam.txt"),
+                       K / np.array([[4.0], [4.0], [1.0]]), E,
+                       DEPTH_MIN, DEPTH_MAX)
+
+    pairs = [(r, [(s, 10.0) for s in range(num_views) if s != r])
+             for r in range(num_refs)]
+    write_pair_file(os.path.join(root, "Cameras_1/pair.txt"), pairs)
+
+    list_path = os.path.join(root, "list.txt")
+    with open(list_path, "w") as f:
+        f.write(scan + "\n")
+    return list_path

@@ -1,0 +1,58 @@
+"""DTU training-layout loader on the synthetic fixture.
+
+Validates the full loader contract train.py relies on: pyramid shapes,
+GT depth/image alignment (fronto-parallel plane -> constant ref depth
+Z0 x robust scale), depth-range scaling, and the x4 intrinsics
+correction for DTU's quarter-resolution cam files.
+"""
+import os
+
+import numpy as np
+
+from tests.synthetic_scene import build_dtu_training_dir, Z0, DEPTH_MIN, DEPTH_MAX
+
+
+def test_dtu_training_fixture_loader(tmp_path):
+    from itermvs_tpu.data import find_dataset_def
+
+    root = str(tmp_path / "dtu")
+    os.makedirs(root)
+    listfile = build_dtu_training_dir(root, num_views=5, num_refs=2)
+
+    # deterministic (no jitter/scale) path first
+    ds = find_dataset_def("dtu_yao")(root, listfile, "val", 5,
+                                     robust_train=False, seed=0)
+    assert len(ds) == 2 * 7          # refs x light conditions
+    s = ds[0]
+    for lvl in range(4):
+        h, w = 512 >> lvl, 640 >> lvl
+        assert s["imgs"][f"level_{lvl}"].shape == (5, h, w, 3)
+        assert s["proj_matrices"][f"level_{lvl}"].shape == (5, 4, 4)
+        assert s["depth"][f"level_{lvl}"].shape == (h, w, 1)
+        assert s["mask"][f"level_{lvl}"].shape == (h, w, 1)
+    assert s["depth_min"] == np.float32(DEPTH_MIN)
+    assert s["depth_max"] == np.float32(DEPTH_MAX)
+    # ref camera sits at the origin looking at the plane z = Z0.
+    np.testing.assert_allclose(s["depth"]["level_0"][..., 0], Z0, atol=1e-3)
+    assert (s["mask"]["level_0"] > 0.5).all()
+    # images scaled to [-1, 1]
+    assert s["imgs"]["level_0"].min() >= -1.0 and s["imgs"]["level_0"].max() <= 1.0
+
+    # level_0 projection = K E with K recovered at full image resolution:
+    # project the plane point seen at image center back to the center.
+    p0 = s["proj_matrices"]["level_0"][0]
+    world = np.array([0.0, 0.0, Z0, 1.0])
+    # ref extrinsic is identity; principal point maps z-axis point to (cx, cy)
+    uvw = p0[:3] @ world
+    assert abs(uvw[0] / uvw[2] - 320.0) < 1e-3
+    assert abs(uvw[1] / uvw[2] - 256.0) < 1e-3
+
+    # robust-train path: depth, translation and range share one scale
+    ds_r = find_dataset_def("dtu_yao")(root, listfile, "train", 5,
+                                       robust_train=True, seed=3)
+    s = ds_r[0]
+    scale = s["depth_min"] / DEPTH_MIN
+    assert 0.8 <= scale <= 1.25
+    np.testing.assert_allclose(s["depth_max"], DEPTH_MAX * scale, rtol=1e-6)
+    np.testing.assert_allclose(s["depth"]["level_0"][..., 0], Z0 * scale,
+                               atol=1e-2)

@@ -65,6 +65,9 @@ parser.add_argument("--summary_freq", type=int, default=20,
 parser.add_argument("--save_freq", type=int, default=1, help="save checkpoint frequency")
 parser.add_argument("--seed", type=int, default=1, metavar="S", help="random seed")
 parser.add_argument("--iteration", type=int, default=4, help="num of iteration of GRU")
+parser.add_argument("--debug_nans", action="store_true",
+                    help="abort with a traceback on the first NaN produced "
+                         "on device (jax_debug_nans)")
 
 
 def to_device_batch(sample, mesh):
@@ -83,6 +86,8 @@ def to_device_batch(sample, mesh):
 
 def main():
     args = parser.parse_args()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.resume:
         assert args.mode == "train"
         assert args.loadckpt is None
@@ -150,6 +155,29 @@ def main():
     val_step = make_val_step(model, regress=args.regress,
                              num_iters=args.iteration, mesh=mesh)
 
+    @jax.jit
+    def image_forward(params, batch_stats, imgs, projs, dmin, dmax):
+        """Eval-mode forward for TB image summaries (ref train.py:139-143)."""
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          imgs, projs, dmin, dmax, train=False)
+        return out["depths_upsampled"][0], out["confidence_upsampled"]
+
+    def log_images(batch, step_no):
+        depth_est, confidence = image_forward(
+            state.params, state.batch_stats, batch["imgs"],
+            batch["proj_matrices"], batch["depth_min"], batch["depth_max"])
+        depth_est = np.asarray(depth_est)[..., 0]
+        depth_gt = np.asarray(batch["depth"]["level_0"])[..., 0]
+        mask = np.asarray(batch["mask"]["level_0"])[..., 0]
+        logger.save_images("train", {
+            "depth_est": depth_est * mask,
+            "depth_gt": depth_gt,
+            "ref_img": np.asarray(batch["imgs"]["level_0"])[:, 0],
+            "mask": mask,
+            "errormap": np.abs(depth_est - depth_gt) * mask,
+            "confidence": np.asarray(confidence)[..., 0],
+        }, step_no)
+
     def run_validation(epoch_idx, global_step):
         meter = DictAverageMeter()
         for batch_idx, sample in enumerate(val_loader):
@@ -181,6 +209,8 @@ def main():
             step_no = len(train_loader) * epoch_idx + batch_idx
             batch = to_device_batch(sample, mesh)
             state, scalars = train_step(state, batch, jnp.float32(lr))
+            if logger is not None and step_no % (50 * args.summary_freq) == 0:
+                log_images(batch, step_no)
             do_summary = step_no % args.summary_freq == 0
             if do_summary:
                 scalars = {k: float(v) for k, v in scalars.items()}
