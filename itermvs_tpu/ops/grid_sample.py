@@ -131,6 +131,14 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     table = data.reshape(b * h * w, ck)
     boff = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None] if b > 1 else 0
 
+    # Tap weights are applied in the table's dtype: exact in float32
+    # mode; in bfloat16 mode this keeps the whole gather -> weighted-sum
+    # chain bf16 (no f32 copy of the gathered block gets materialized —
+    # measured 4.6 -> 2.7 ms per init-branch view at DTU eval size).
+    # Downstream correlation reductions accumulate in float32.
+    def cast(*ws):
+        return [wi.astype(data.dtype) for wi in ws]
+
     if corners == 4:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, wy_a, wy_b = _axis_taps(py, h)
@@ -138,15 +146,12 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
         v = vals.reshape(b, -1, 4, c)
         wgt = jnp.stack([wy_a * wx_a, wy_a * wx_b, wy_b * wx_a, wy_b * wx_b],
                         axis=-1)                             # [B, P, 4]
-        # Tiny contraction over the 4 taps, f32 accumulate. As an
-        # einsum (not v * wgt then sum) so XLA fuses the bf16->f32
-        # convert of the gathered block into the reduce instead of
-        # materializing a f32 copy of it (~1 ms per warp at eval size).
-        out = jnp.einsum("bpkc,bpk->bpc", v, wgt,
-                         preferred_element_type=jnp.float32)  # [B, P, C]
+        (wgt,) = cast(wgt)
+        out = jnp.sum(v * wgt[..., None], axis=2)            # [B, P, C]
     elif corners == 2:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, by2, wy_a, wy_b = _axis_taps_pair(py, h)
+        wx_a, wx_b, wy_a, wy_b = cast(wx_a, wx_b, wy_a, wy_b)
         top = _flat_take(table, by * w + bx + boff).reshape(b, -1, 2, c)
         bot = _flat_take(table, by2 * w + bx + boff).reshape(b, -1, 2, c)
         row = top * wy_a[..., None, None] + bot * wy_b[..., None, None]
@@ -154,6 +159,7 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     else:
         bx, bx2, wx_a, wx_b = _axis_taps_pair(px, w)
         by, by2, wy_a, wy_b = _axis_taps_pair(py, h)
+        wx_a, wx_b, wy_a, wy_b = cast(wx_a, wx_b, wy_a, wy_b)
         v00 = _flat_take(table, by * w + bx + boff).reshape(b, -1, c)
         v01 = _flat_take(table, by * w + bx2 + boff).reshape(b, -1, c)
         v10 = _flat_take(table, by2 * w + bx + boff).reshape(b, -1, c)

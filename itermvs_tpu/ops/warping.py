@@ -139,10 +139,12 @@ def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
     c = packed_src.data.shape[-1] // packed_src.corners
     cg = c // groups
     warped = differentiable_warp_packed(packed_src, proj, depth_samples)
+    # Multiply in the feature dtype, accumulate the group mean in f32
+    # (the reduce fusion reads bf16 and emits f32 in bf16 mode).
     prod = warped.reshape(b, n, h, w, groups, cg) * ref_fea.reshape(
         b, 1, h, w, groups, cg
-    )
-    return jnp.mean(prod, axis=-1)
+    ).astype(warped.dtype)
+    return jnp.mean(prod, axis=-1, dtype=jnp.float32)
 
 
 def warp_corr(src_fea: jnp.ndarray, ref_fea: jnp.ndarray, proj: jnp.ndarray,

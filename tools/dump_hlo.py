@@ -4,6 +4,7 @@ from __future__ import annotations
 import sys
 
 import jax
+import jax.numpy as jnp
 
 
 def main():
@@ -15,7 +16,7 @@ def main():
 
     width, height, views = 1152, 864, 5
     imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
-    model = Pipeline(iteration=4, test=True)
+    model = Pipeline(iteration=4, test=True, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
 
     @jax.jit
