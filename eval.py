@@ -23,8 +23,9 @@ from itermvs_tpu.engine.checkpoint import load_variables
 from itermvs_tpu.fusion import filter_depth
 from itermvs_tpu.io import save_pfm
 from itermvs_tpu.models import Pipeline
-from itermvs_tpu.utils import enable_persistent_cache
+from itermvs_tpu.utils import enable_persistent_cache, respect_jax_platforms_env
 
+respect_jax_platforms_env()
 enable_persistent_cache()
 
 parser = argparse.ArgumentParser(description="Predict depth, filter, and fuse")
@@ -100,20 +101,48 @@ def save_depth(args, img_wh):
     print(f"loading model {args.loadckpt}")
     variables = load_variables(args.loadckpt)
 
-    @jax.jit
-    def forward(imgs, projs, dmin, dmax):
+    # Data-parallel inference over ICI when the batch divides the device
+    # count (the TPU-native analogue of the reference's DataParallel
+    # eval wrap, eval.py:119): batch sharded, params replicated.
+    mesh = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        from itermvs_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+
+        mesh = make_mesh()
+        print(f"data-parallel eval over {jax.device_count()} devices")
+
+    def _forward(imgs, projs, dmin, dmax):
         out = model.apply(variables, imgs, projs, dmin, dmax)
         return out["depths_upsampled"], out["confidence_upsampled"]
+
+    if mesh is None:
+        forward = jax.jit(_forward)
+    else:
+        sharding = batch_sharding(mesh)
+        variables = jax.device_put(variables, replicate(mesh))
+        forward = jax.jit(_forward, in_shardings=(sharding,) * 4)
+
+    def _pad(x, n):
+        """Repeat the last batch element so partial final batches still
+        shard evenly over the mesh; padded outputs are discarded."""
+        return np.concatenate([x, np.repeat(x[-1:], n, axis=0)], axis=0)
 
     total = len(loader)
     for batch_idx, sample in enumerate(loader):
         start = time.time()
-        depths, confs = forward(
-            {k: jnp.asarray(v) for k, v in sample["imgs"].items()},
-            {k: jnp.asarray(v) for k, v in sample["proj_matrices"].items()},
-            jnp.asarray(sample["depth_min"]), jnp.asarray(sample["depth_max"]))
-        depths = np.asarray(depths)[..., 0]
-        confs = np.asarray(confs)[..., 0]
+        n_real = len(sample["filename"])
+        pad = args.batch_size - n_real if mesh is not None else 0
+        imgs = {k: jnp.asarray(_pad(v, pad) if pad else v)
+                for k, v in sample["imgs"].items()}
+        projs = {k: jnp.asarray(_pad(v, pad) if pad else v)
+                 for k, v in sample["proj_matrices"].items()}
+        dmin = jnp.asarray(_pad(sample["depth_min"], pad) if pad
+                           else sample["depth_min"])
+        dmax = jnp.asarray(_pad(sample["depth_max"], pad) if pad
+                           else sample["depth_max"])
+        depths, confs = forward(imgs, projs, dmin, dmax)
+        depths = np.asarray(depths)[:n_real, ..., 0]
+        confs = np.asarray(confs)[:n_real, ..., 0]
         print(f"Iter {batch_idx}/{total}, time = {time.time() - start:.3f}")
 
         for filename, depth_est, confidence in zip(sample["filename"], depths, confs):

@@ -32,8 +32,9 @@ from itermvs_tpu.engine.train_loop import (
 )
 from itermvs_tpu.models import Pipeline
 from itermvs_tpu.parallel.mesh import make_mesh, shard_batch
-from itermvs_tpu.utils import enable_persistent_cache
+from itermvs_tpu.utils import enable_persistent_cache, respect_jax_platforms_env
 
+respect_jax_platforms_env()
 enable_persistent_cache()
 
 parser = argparse.ArgumentParser(
