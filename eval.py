@@ -11,6 +11,7 @@ import argparse
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -91,6 +92,15 @@ def build_dataset(args, img_wh):
     return MVSDataset(args.testpath, args.n_views, img_wh)
 
 
+def _write_outputs(outdir, filename, depth_est, confidence):
+    depth_path = os.path.join(outdir, filename.format("depth_est", ".pfm"))
+    conf_path = os.path.join(outdir, filename.format("confidence", ".pfm"))
+    os.makedirs(os.path.dirname(depth_path), exist_ok=True)
+    os.makedirs(os.path.dirname(conf_path), exist_ok=True)
+    save_pfm(depth_path, depth_est.astype(np.float32))
+    save_pfm(conf_path, confidence.astype(np.float32))
+
+
 def save_depth(args, img_wh):
     dataset = build_dataset(args, img_wh)
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=4,
@@ -127,6 +137,8 @@ def save_depth(args, img_wh):
         shard evenly over the mesh; padded outputs are discarded."""
         return np.concatenate([x, np.repeat(x[-1:], n, axis=0)], axis=0)
 
+    writer_pool = ThreadPoolExecutor(max_workers=2)
+
     total = len(loader)
     for batch_idx, sample in enumerate(loader):
         start = time.time()
@@ -145,13 +157,14 @@ def save_depth(args, img_wh):
         confs = np.asarray(confs)[:n_real, ..., 0]
         print(f"Iter {batch_idx}/{total}, time = {time.time() - start:.3f}")
 
+        # PFM writes overlap the next batch's forward (device compute
+        # continues while the writer thread drains).
         for filename, depth_est, confidence in zip(sample["filename"], depths, confs):
-            depth_path = os.path.join(args.outdir, filename.format("depth_est", ".pfm"))
-            conf_path = os.path.join(args.outdir, filename.format("confidence", ".pfm"))
-            os.makedirs(os.path.dirname(depth_path), exist_ok=True)
-            os.makedirs(os.path.dirname(conf_path), exist_ok=True)
-            save_pfm(depth_path, depth_est.astype(np.float32))
-            save_pfm(conf_path, confidence.astype(np.float32))
+            writer_pool.submit(_write_outputs, args.outdir, filename,
+                               depth_est, confidence)
+
+    # All PFMs must be on disk before fusion reads them back.
+    writer_pool.shutdown(wait=True)
 
 
 def run_fusion(args, img_wh):
