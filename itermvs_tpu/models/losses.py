@@ -71,7 +71,7 @@ def full_loss(outputs, depths_gt, masks, depth_min, depth_max, regress=True):
 
     for i in range(num_prediction):
         coeff = 0.8 ** (num_prediction - i - 1)
-        probability = jnp.clip(probabilities[i], a_min=1e-5)       # [B,H,W,256]
+        probability = jnp.clip(probabilities[i], min=1e-5)         # [B,H,W,256]
         ce = -jnp.sum(gt_one_hot * jnp.log(probability), axis=-1, keepdims=True)
         loss = loss + coeff * _masked_mean(ce, mask_1)
 
