@@ -1,12 +1,18 @@
 #!/usr/bin/env bash
+# Custom-scene evaluation: a COLMAP scene converted by
+# tools/colmap_input.py (images/ cams_1/ pair.txt). Set --img_wh to
+# your resolution (multiples of 32). Extra args pass through.
+set -euo pipefail
 
-CKPT_FILE="./checkpoints/dtu/model_000015.ckpt"
-# CKPT_FILE="./checkpoints/blendedmvs/model_000015.ckpt"
+: "${CUSTOM_TESTING:=/home/Desktop/custom/}"
+: "${CKPT_FILE:=./checkpoints/dtu/model_000015.ckpt}"
+: "${OUT_DIR:=./outputs}"
 
-CUSTOM_TESTING="/home/Desktop/custom/"
-
-OUT_DIR="./outputs"
-
-python eval.py --dataset=custom --batch_size=1 --n_views 7 --iteration 4 --img_wh 640 480 \
---testpath=$CUSTOM_TESTING --geo_pixel_thres=1 --geo_depth_thres=0.01 --photo_thres=0.3 \
---outdir=$OUT_DIR --loadckpt $CKPT_FILE $@
+python eval.py \
+    --dataset=custom \
+    --testpath="$CUSTOM_TESTING" \
+    --loadckpt "$CKPT_FILE" \
+    --outdir="$OUT_DIR" \
+    --batch_size=1 --n_views 7 --iteration 4 --img_wh 640 480 \
+    --geo_pixel_thres=1 --geo_depth_thres=0.01 --photo_thres=0.3 \
+    "$@"

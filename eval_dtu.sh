@@ -1,11 +1,21 @@
 #!/usr/bin/env bash
+# DTU evaluation: per-view depth + confidence inference on TPU, then
+# geometric fusion to per-scan point clouds (itermvsNNN_l3.ply).
+# Flags mirror the reference recipe (eval at 1600x1152, N=5, fusion
+# thresholds 1px / 0.01 rel depth / 0.3 confidence, geo_mask 4).
+# Extra args pass through, e.g. `bash eval_dtu.sh --precision bfloat16`.
+set -euo pipefail
 
-CKPT_FILE="./checkpoints/dtu/model_000015.ckpt"
+: "${DTU_TESTING:=/home/Desktop/dtu/}"
+: "${CKPT_FILE:=./checkpoints/dtu/model_000015.ckpt}"
+: "${OUT_DIR:=./outputs}"
 
-DTU_TESTING="/home/Desktop/dtu/"
-
-OUT_DIR="./outputs"
-
-python eval.py --dataset=dtu_yao_eval --batch_size=1 --n_views 5 --iteration 4 \
---testpath=$DTU_TESTING --geo_pixel_thres=1 --geo_depth_thres=0.01 --photo_thres=0.3 \
---outdir=$OUT_DIR --testlist lists/dtu/test.txt --loadckpt $CKPT_FILE $@
+python eval.py \
+    --dataset=dtu_yao_eval \
+    --testpath="$DTU_TESTING" \
+    --testlist lists/dtu/test.txt \
+    --loadckpt "$CKPT_FILE" \
+    --outdir="$OUT_DIR" \
+    --batch_size=1 --n_views 5 --iteration 4 \
+    --geo_pixel_thres=1 --geo_depth_thres=0.01 --photo_thres=0.3 \
+    "$@"

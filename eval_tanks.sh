@@ -1,16 +1,21 @@
 #!/usr/bin/env bash
+# Tanks & Temples evaluation (intermediate + advanced splits) at
+# 1920x1024 with N=7 views; per-scene geo_mask thresholds are applied
+# by eval.py's fusion orchestration. Use CKPT_FILE to pick the DTU- or
+# BlendedMVS-trained weights. Extra args pass through.
+set -euo pipefail
 
-CKPT_FILE="./checkpoints/dtu/model_000015.ckpt"
-# CKPT_FILE="./checkpoints/blendedmvs/model_000015.ckpt"
+: "${TANK_TESTING:=/home/Desktop/tankandtemples/}"
+: "${CKPT_FILE:=./checkpoints/dtu/model_000015.ckpt}"
+: "${OUT_DIR:=./outputs}"
 
-TANK_TESTING="/home/Desktop/tankandtemples/"
-
-OUT_DIR="./outputs"
-
-python eval.py --dataset=tanks --split intermediate --batch_size=1 --n_views 7 --iteration 4 \
---testpath=$TANK_TESTING --geo_pixel_thres=1 --geo_depth_thres=0.01 --photo_thres=0.3 \
---outdir=$OUT_DIR --loadckpt $CKPT_FILE $@
-
-python eval.py --dataset=tanks --split advanced --batch_size=1 --n_views 7 --iteration 4 \
---testpath=$TANK_TESTING --geo_pixel_thres=1 --geo_depth_thres=0.01 --photo_thres=0.3 \
---outdir=$OUT_DIR --loadckpt $CKPT_FILE $@
+for split in intermediate advanced; do
+    python eval.py \
+        --dataset=tanks --split "$split" \
+        --testpath="$TANK_TESTING" \
+        --loadckpt "$CKPT_FILE" \
+        --outdir="$OUT_DIR" \
+        --batch_size=1 --n_views 7 --iteration 4 \
+        --geo_pixel_thres=1 --geo_depth_thres=0.01 --photo_thres=0.3 \
+        "$@"
+done
