@@ -53,3 +53,22 @@ def test_eval_cli_end_to_end(tmp_path):
     # Fused points concentrate on the synthetic plane z = Z0.
     median_err = np.median(np.abs(xyz[:, 2] - Z0))
     assert median_err < 0.05, f"median plane error {median_err}"
+
+    # Chain the DTU scorer (benchmark protocol: 0.2-unit density
+    # downsample, NN acc/comp, outlier cutoff) against an analytic GT
+    # sampling of the plane over the reconstruction's footprint.
+    from itermvs_tpu.benchmark.dtu_score import score
+    from itermvs_tpu.io import write_ply
+
+    lo = np.percentile(xyz[:, :2], 2, axis=0)
+    hi = np.percentile(xyz[:, :2], 98, axis=0)
+    gx, gy = np.meshgrid(np.arange(lo[0], hi[0], 0.02),
+                         np.arange(lo[1], hi[1], 0.02))
+    gt = np.stack([gx.ravel(), gy.ravel(),
+                   np.full(gx.size, Z0)], axis=1).astype(np.float32)
+    gt_ply = os.path.join(out, "gt_plane.ply")
+    write_ply(gt_ply, gt, np.zeros_like(gt, dtype=np.uint8))
+    result = score(ply, gt_ply, density=0.02, max_dist=1.0)
+    assert result["accuracy_mm"] < 0.06, result
+    assert result["completeness_mm"] < 0.1, result
+    assert result["overall_mm"] < 0.08, result
