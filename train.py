@@ -31,7 +31,7 @@ from itermvs_tpu.engine.train_loop import (
     make_val_step,
 )
 from itermvs_tpu.models import Pipeline
-from itermvs_tpu.parallel.mesh import make_mesh, shard_batch
+from itermvs_tpu.parallel.mesh import initialize_distributed, make_mesh, shard_batch
 from itermvs_tpu.utils import enable_persistent_cache, respect_jax_platforms_env
 
 respect_jax_platforms_env()
@@ -87,6 +87,9 @@ def to_device_batch(sample, mesh):
 
 def main():
     args = parser.parse_args()
+    # Multi-host DCN init (no-op single-process): must run before any
+    # backend use so the global mesh spans all hosts' devices.
+    initialize_distributed()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.resume:
