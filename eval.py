@@ -138,6 +138,7 @@ def save_depth(args, img_wh):
         return np.concatenate([x, np.repeat(x[-1:], n, axis=0)], axis=0)
 
     writer_pool = ThreadPoolExecutor(max_workers=2)
+    write_futures = []
 
     total = len(loader)
     for batch_idx, sample in enumerate(loader):
@@ -160,11 +161,16 @@ def save_depth(args, img_wh):
         # PFM writes overlap the next batch's forward (device compute
         # continues while the writer thread drains).
         for filename, depth_est, confidence in zip(sample["filename"], depths, confs):
-            writer_pool.submit(_write_outputs, args.outdir, filename,
-                               depth_est, confidence)
+            write_futures.append(
+                writer_pool.submit(_write_outputs, args.outdir, filename,
+                                   depth_est, confidence))
 
-    # All PFMs must be on disk before fusion reads them back.
+    # All PFMs must be on disk before fusion reads them back; surface any
+    # write failure (disk full, bad path) with its real traceback instead
+    # of a missing-file error later in fusion.
     writer_pool.shutdown(wait=True)
+    for fut in write_futures:
+        fut.result()
 
 
 def run_fusion(args, img_wh):

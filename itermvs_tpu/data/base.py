@@ -100,9 +100,21 @@ class MVSDatasetBase:
     """Minimal map-style dataset protocol (len / getitem)."""
 
     metas: list
+    seed: int = 0
+    _epoch: int = 0
 
     def __len__(self):
         return len(self.metas)
+
+    def set_epoch(self, epoch: int):
+        """Called by the DataLoader so per-item RNG varies across epochs."""
+        self._epoch = int(epoch)
+
+    def item_rng(self, idx: int) -> np.random.Generator:
+        """Per-item generator: thread-safe under concurrent __getitem__
+        (the loader's worker threads never share generator state) and
+        reproducible — (seed, epoch, idx) fully determines the sample."""
+        return np.random.default_rng((self.seed, self._epoch, int(idx)))
 
     def __getitem__(self, idx):
         raise NotImplementedError

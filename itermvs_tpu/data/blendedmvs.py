@@ -31,12 +31,13 @@ class MVSDataset(MVSDatasetBase):
         self.nviews = nviews
         self.img_wh = img_wh
         self.robust_train = robust_train
-        self.rng = np.random.default_rng(seed)
+        self.seed = 0 if seed is None else int(seed)
         self.scale_factors: dict[str, float] = {}
         self.metas = self._build_list()
 
     def _build_list(self):
         metas = []
+        self._first_ref: dict[str, int] = {}
         with open(self.listfile) as f:
             scans = [line.rstrip() for line in f if line.strip()]
         for scan in scans:
@@ -45,13 +46,29 @@ class MVSDataset(MVSDatasetBase):
             for ref_view, src_views in pairs:
                 if len(src_views) >= self.nviews - 1:
                     metas.append((scan, ref_view, src_views))
+                    self._first_ref.setdefault(scan, ref_view)
         return metas
+
+    def _scale_factor(self, scan):
+        """Per-scan depth normalization `100/depth_min` (blendedmvs.py:55-60).
+
+        The reference derives it from whichever view of the scan is read
+        first, which is loader-order dependent; here it is pinned to the
+        scan's first pair-list ref view so concurrent worker threads see
+        one deterministic value (dict writes of the same value are benign).
+        """
+        factor = self.scale_factors.get(scan)
+        if factor is None:
+            cam_path = os.path.join(
+                self.datapath, scan, f"cams/{self._first_ref[scan]:0>8}_cam.txt")
+            _, _, dmin, _ = self.read_cam(cam_path)
+            factor = 100.0 / dmin
+            self.scale_factors[scan] = factor
+        return factor
 
     def _read_cam(self, scan, path):
         intrinsics, extrinsics, dmin, dmax = self.read_cam(path)
-        if scan not in self.scale_factors:
-            self.scale_factors[scan] = 100.0 / dmin
-        factor = self.scale_factors[scan]
+        factor = self._scale_factor(scan)
         extrinsics = extrinsics.copy()
         extrinsics[:3, 3] *= factor
         return intrinsics.copy(), extrinsics, dmin * factor, dmax * factor
@@ -69,10 +86,11 @@ class MVSDataset(MVSDatasetBase):
 
     def __getitem__(self, idx):
         scan, ref_view, src_views = self.metas[idx]
+        rng = self.item_rng(idx)
         if self.robust_train:
-            index = self.rng.choice(len(src_views), self.nviews - 1, replace=False)
+            index = rng.choice(len(src_views), self.nviews - 1, replace=False)
             view_ids = [ref_view] + [src_views[i] for i in index]
-            scale = float(self.rng.uniform(0.8, 1.25))
+            scale = float(rng.uniform(0.8, 1.25))
         else:
             view_ids = [ref_view] + src_views[:self.nviews - 1]
             scale = 1.0
@@ -87,7 +105,7 @@ class MVSDataset(MVSDatasetBase):
 
             img = self.read_image(img_path)
             if self.split == "train":
-                img = color_jitter(img, self.rng)
+                img = color_jitter(img, rng)
             imgs.append(image_pyramid(img, self.img_wh))
 
             intrinsics, extrinsics, dmin, dmax = self._read_cam(scan, cam_path)

@@ -37,7 +37,7 @@ class MVSDataset(MVSDatasetBase):
         self.nviews = nviews
         self.img_wh = (640, 512)
         self.robust_train = robust_train
-        self.rng = np.random.default_rng(seed)
+        self.seed = 0 if seed is None else int(seed)
         self.metas = self._build_list()
 
     def _build_list(self):
@@ -53,10 +53,10 @@ class MVSDataset(MVSDatasetBase):
         print("dataset", self.mode, "metas:", len(metas))
         return metas
 
-    def _read_img(self, path):
+    def _read_img(self, path, rng):
         img = self.read_image(path)
         if self.mode == "train":
-            img = color_jitter(img, self.rng)
+            img = color_jitter(img, rng)
         return image_pyramid(img, None)
 
     def _prepare_map(self, arr):
@@ -81,10 +81,11 @@ class MVSDataset(MVSDatasetBase):
 
     def __getitem__(self, idx):
         scan, light_idx, ref_view, src_views = self.metas[idx]
+        rng = self.item_rng(idx)
         if self.robust_train:
-            index = self.rng.choice(len(src_views), self.nviews - 1, replace=False)
+            index = rng.choice(len(src_views), self.nviews - 1, replace=False)
             view_ids = [ref_view] + [src_views[i] for i in index]
-            scale = float(self.rng.uniform(0.8, 1.25))
+            scale = float(rng.uniform(0.8, 1.25))
         else:
             view_ids = [ref_view] + src_views[:self.nviews - 1]
             scale = 1.0
@@ -101,7 +102,7 @@ class MVSDataset(MVSDatasetBase):
             cam_path = os.path.join(
                 self.datapath, f"Cameras_1/{scan}_train/{vid:0>8}_cam.txt")
 
-            imgs.append(self._read_img(img_path))
+            imgs.append(self._read_img(img_path, rng))
 
             intrinsics, extrinsics, dmin, dmax = self.read_cam(cam_path)
             extrinsics = extrinsics.copy()

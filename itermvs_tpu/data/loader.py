@@ -71,6 +71,10 @@ class DataLoader:
         return batches
 
     def __iter__(self):
+        # Let datasets with per-item RNG vary augmentation across epochs
+        # while staying reproducible under threaded workers.
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         batches = self._batch_indices()
         self._epoch += 1
         if not batches:

@@ -9,6 +9,8 @@ initialize_distributed).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -37,9 +39,37 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def initialize_distributed():
-    """Multi-host init (no-op when single-process)."""
-    try:
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-process run
+# Environment markers of a multi-process launch. When none is present the
+# run is single-process and distributed init is skipped; when one IS
+# present, jax.distributed.initialize() must succeed — a silent fallback
+# would train N independent copies with the wrong global batch.
+_MULTIHOST_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "JAX_NUM_PROCESSES",
+    "JAX_PROCESS_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_NTASKS",
+    "OMPI_COMM_WORLD_SIZE",
+    "TPU_WORKER_HOSTNAMES",
+)
+
+
+def initialize_distributed() -> bool:
+    """Multi-host DCN init; returns True if a multi-process job was joined.
+
+    No-op only when no launcher/coordinator environment is detected
+    (plain single-process run). Any failure in an actual multi-process
+    environment propagates loudly instead of silently degrading into N
+    independent single-host trainings.
+    """
+    present = [v for v in _MULTIHOST_ENV_VARS if os.environ.get(v)]
+    if not present:
+        return False
+    print(f"multi-host launch detected ({', '.join(present)}); "
+          "initializing jax.distributed")
+    jax.distributed.initialize()
+    print(f"jax.distributed up: process {jax.process_index()}/"
+          f"{jax.process_count()}, {jax.local_device_count()} local / "
+          f"{jax.device_count()} global devices")
+    return True

@@ -104,8 +104,10 @@ def main():
     for k, v in sorted(vars(args).items()):
         print(f"{k}: {v}")
 
+    # TB writing happens on host 0 only; other processes still train and
+    # print, but never touch the logdir (ref train.py:78 has one host).
     logger = None
-    if args.mode == "train":
+    if args.mode == "train" and jax.process_index() == 0:
         os.makedirs(args.logdir, exist_ok=True)
         print("creating new summary file")
         logger = SummaryWriter(args.logdir)
@@ -166,17 +168,28 @@ def main():
                           imgs, projs, dmin, dmax, train=False)
         return out["depths_upsampled"][0], out["confidence_upsampled"]
 
-    def log_images(batch, step_no):
+    def log_images(sample, step_no):
+        """TB image summaries from the first host-local sample.
+
+        Runs entirely host-local (batch-1 forward on one local device,
+        inputs taken from the numpy sample before sharding) so it is
+        multi-host safe: the globally-sharded training batch is never
+        np.asarray'd, and only process 0 calls this (logger gating).
+        """
+        local = jax.local_devices()[0]
+        params = jax.device_put(jax.device_get(state.params), local)
+        bstats = jax.device_put(jax.device_get(state.batch_stats), local)
+        one = lambda tree: jax.tree.map(lambda x: jnp.asarray(x[:1]), tree)
         depth_est, confidence = image_forward(
-            state.params, state.batch_stats, batch["imgs"],
-            batch["proj_matrices"], batch["depth_min"], batch["depth_max"])
+            params, bstats, one(sample["imgs"]), one(sample["proj_matrices"]),
+            one(sample["depth_min"]), one(sample["depth_max"]))
         depth_est = np.asarray(depth_est)[..., 0]
-        depth_gt = np.asarray(batch["depth"]["level_0"])[..., 0]
-        mask = np.asarray(batch["mask"]["level_0"])[..., 0]
+        depth_gt = np.asarray(sample["depth"]["level_0"])[:1, ..., 0]
+        mask = np.asarray(sample["mask"]["level_0"])[:1, ..., 0]
         logger.save_images("train", {
             "depth_est": depth_est * mask,
             "depth_gt": depth_gt,
-            "ref_img": np.asarray(batch["imgs"]["level_0"])[:, 0],
+            "ref_img": np.asarray(sample["imgs"]["level_0"])[:1, 0],
             "mask": mask,
             "errormap": np.abs(depth_est - depth_gt) * mask,
             "confidence": np.asarray(confidence)[..., 0],
@@ -214,7 +227,7 @@ def main():
             batch = to_device_batch(sample, mesh)
             state, scalars = train_step(state, batch, jnp.float32(lr))
             if logger is not None and step_no % (50 * args.summary_freq) == 0:
-                log_images(batch, step_no)
+                log_images(sample, step_no)
             do_summary = step_no % args.summary_freq == 0
             if do_summary:
                 scalars = {k: float(v) for k, v in scalars.items()}
