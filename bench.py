@@ -1,34 +1,122 @@
-"""Benchmark: DTU depth-map inference throughput per chip.
+"""Benchmark: the three north-star metrics, one JSON line.
 
-Measures test-mode Pipeline throughput (depth maps/sec) at the paper's
-DTU eval resolution 1152×864 with N=5 views, iteration=4, on the
-default JAX device, in bfloat16 compute mode — the production TPU path
-(convs/features/gather tables bf16; geometry, 256-bin softmax, depth
-readout and heads float32). bf16 depth maps are quality-equivalent to
-float32: with the released DTU checkpoint on a textured synthetic scene
-the median relative depth difference vs float32 is 9e-5 and fused
-point-cloud plane error is identical to 1e-4 (see tools/bf16_check.py
-and the e2e verify flow); float32 remains the default for eval.py and
-is bit-compared against the torch reference in tests.
+Primary metric (BASELINE.json): DTU depth-map inference throughput per
+chip at the paper's eval resolution 1152×864, N=5 views, iteration=4,
+bfloat16 compute — the production TPU path (convs/features/gather
+tables bf16; geometry, 256-bin softmax, depth readout and heads
+float32). bf16 depth maps are quality-equivalent to float32 (see
+tools/bf16_check.py); float32 remains eval.py's default and is
+bit-compared against the torch reference in tests.
+
+`extra` carries the remaining north stars measured in the same run:
+  * maps/sec at the repo's own DTU eval resolution 1600×1152
+    (reference eval.py:47);
+  * fusion sec/scene: itermvs_tpu.fusion.filter_depth on a synthetic
+    7-view scan at 1600×1152 (depths predicted by the model), second
+    run (first run pays kernel compiles). Baseline 20.3 s/scene is the
+    reference's NumPy/cv2 fusion loop (eval.py:212-309) measured on
+    this host on the identical scan (tools/bench_reference_fusion.py);
+  * end-to-end quality: DTU-protocol scorer (acc/comp/overall,
+    benchmark/dtu_score.py) on the fused cloud vs the scene's analytic
+    plane GT — a synthetic stand-in for the 0.363 mm DTU overall
+    (README.md:91-93) while the real DTU eval set isn't mountable.
 
 Weights: the released DTU checkpoint when the reference mount is
-present, else random init (throughput-identical).
+present, else random init (throughput-identical; quality metric skipped).
 
-Baseline: the IterMVS paper (arXiv 2112.05126, Tab. 4) reports 0.17 s
-per view at 1152×864 on an RTX 2080Ti — 5.88 maps/sec. `vs_baseline`
-is our maps/sec divided by that.
+Throughput baseline: the IterMVS paper (arXiv 2112.05126, Tab. 4)
+reports 0.17 s per view at 1152×864 on an RTX 2080Ti — 5.88 maps/sec.
+`vs_baseline` is our maps/sec divided by that.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_MAPS_PER_SEC = 1.0 / 0.17
+# Reference fusion (NumPy + cv2.remap, eval.py:212-309) on the same
+# synthetic 7-view 1600x1152 scan, this host (tools/bench_reference_fusion.py).
+BASELINE_FUSION_SEC_PER_SCENE = 20.3
+BASELINE_DTU_OVERALL_MM = 0.363
+
+CKPT = "/root/reference/checkpoints/dtu/model_000015.ckpt"
+
+
+def _throughput(forward, width, height, views, iters=12):
+    import jax
+    from __graft_entry__ import _example_inputs
+
+    imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
+    d, c = forward(imgs, projs, dmin, dmax)   # warmup / compile
+    jax.block_until_ready((d, c))
+    start = time.perf_counter()
+    for _ in range(iters):
+        d, c = forward(imgs, projs, dmin, dmax)
+    jax.block_until_ready((d, c))
+    return iters / (time.perf_counter() - start)
+
+
+def _fusion_and_quality(forward, have_ckpt):
+    """Synthetic 7-view scan at 1600×1152: model depths → PFMs →
+    filter_depth (timed, 2nd run) → DTU-protocol score vs the plane."""
+    import jax.numpy as jnp
+    from tests.synthetic_scene import build_scene_dir, Z0
+    from itermvs_tpu.fusion import filter_depth
+    from itermvs_tpu.io import read_pair_file, read_camera_parameters, save_pfm
+    from itermvs_tpu.io import read_ply, write_ply
+    from itermvs_tpu.benchmark.dtu_score import score
+    from itermvs_tpu.data import find_dataset_def
+
+    width, height, views = 1600, 1152, 7
+    root = tempfile.mkdtemp(prefix="itermvs_bench_")
+    try:
+        build_scene_dir(root, num_views=views, width=width, height=height,
+                        write_gt_depth=False)
+        ds = find_dataset_def("custom")(root, n_views=views,
+                                        img_wh=(width, height))
+        os.makedirs(os.path.join(root, "depth_est"), exist_ok=True)
+        os.makedirs(os.path.join(root, "confidence"), exist_ok=True)
+        for i in range(len(ds)):
+            s = ds[i]
+            d, c = forward(
+                {k: jnp.asarray(v)[None] for k, v in s["imgs"].items()},
+                {k: jnp.asarray(v)[None] for k, v in s["proj_matrices"].items()},
+                jnp.asarray([s["depth_min"]]), jnp.asarray([s["depth_max"]]))
+            save_pfm(os.path.join(root, f"depth_est/{i:08d}.pfm"),
+                     np.asarray(d)[0, ..., 0].astype(np.float32))
+            save_pfm(os.path.join(root, f"confidence/{i:08d}.pfm"),
+                     np.asarray(c)[0, ..., 0].astype(np.float32))
+
+        ply = os.path.join(root, "fused.ply")
+        filter_depth(root, root, ply, 1.0, 0.01, 0.3, (width, height),
+                     geo_mask_thres=3, verbose=False)      # compile run
+        _, fusion_secs = filter_depth(root, root, ply, 1.0, 0.01, 0.3,
+                                      (width, height), geo_mask_thres=3,
+                                      verbose=False)
+
+        overall = None
+        if have_ckpt:
+            xyz, _ = read_ply(ply)
+            lo = np.percentile(xyz[:, :2], 2, axis=0)
+            hi = np.percentile(xyz[:, :2], 98, axis=0)
+            gx, gy = np.meshgrid(np.arange(lo[0], hi[0], 0.02),
+                                 np.arange(lo[1], hi[1], 0.02))
+            gt = np.stack([gx.ravel(), gy.ravel(),
+                           np.full(gx.size, Z0)], axis=1).astype(np.float32)
+            gt_ply = os.path.join(root, "gt_plane.ply")
+            write_ply(gt_ply, gt, np.zeros_like(gt, dtype=np.uint8))
+            result = score(ply, gt_ply, density=0.02, max_dist=1.0)
+            overall = result["overall_mm"]
+        return fusion_secs, overall
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main():
@@ -40,16 +128,14 @@ def main():
 
     enable_persistent_cache()
 
-    width, height, views = 1152, 864, 5
-    imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
-
     model = Pipeline(iteration=4, test=True, dtype=jnp.bfloat16)
-    ckpt = "/root/reference/checkpoints/dtu/model_000015.ckpt"
-    if os.path.exists(ckpt):
+    have_ckpt = os.path.exists(CKPT)
+    if have_ckpt:
         from itermvs_tpu.engine.torch_import import import_torch_checkpoint
 
-        variables = import_torch_checkpoint(ckpt)
+        variables = import_torch_checkpoint(CKPT)
     else:
+        imgs, projs, dmin, dmax = _example_inputs(1, 5, 864, 1152)
         variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
 
     @jax.jit
@@ -57,23 +143,27 @@ def main():
         out = model.apply(variables, imgs, projs, dmin, dmax)
         return out["depths_upsampled"], out["confidence_upsampled"]
 
-    # Warmup / compile.
-    d, c = forward(imgs, projs, dmin, dmax)
-    jax.block_until_ready((d, c))
+    maps_paper = _throughput(forward, 1152, 864, views=5)
+    maps_eval = _throughput(forward, 1600, 1152, views=5, iters=8)
+    fusion_secs, overall = _fusion_and_quality(forward, have_ckpt)
 
-    iters = 12
-    start = time.perf_counter()
-    for _ in range(iters):
-        d, c = forward(imgs, projs, dmin, dmax)
-    jax.block_until_ready((d, c))
-    elapsed = time.perf_counter() - start
-    maps_per_sec = iters / elapsed
+    extra = {
+        "maps_per_sec_1600x1152": round(maps_eval, 3),
+        "maps_per_sec_1600x1152_vs_baseline": round(
+            maps_eval / BASELINE_MAPS_PER_SEC, 3),
+        "fusion_sec_per_scene_7view_1600x1152": round(fusion_secs, 3),
+        "fusion_vs_reference_cpu": round(
+            BASELINE_FUSION_SEC_PER_SCENE / fusion_secs, 2),
+    }
+    if overall is not None:
+        extra["synthetic_scene_overall_mm"] = round(float(overall), 5)
 
     print(json.dumps({
         "metric": "DTU depth maps/sec/chip (1152x864, N=5, iter=4, bf16)",
-        "value": round(maps_per_sec, 3),
+        "value": round(maps_paper, 3),
         "unit": "maps/sec",
-        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 3),
+        "vs_baseline": round(maps_paper / BASELINE_MAPS_PER_SEC, 3),
+        "extra": extra,
     }))
 
 

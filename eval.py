@@ -174,40 +174,51 @@ def save_depth(args, img_wh):
 
 
 def run_fusion(args, img_wh):
+    timings = []
     if args.dataset == "dtu_yao_eval":
         with open(args.testlist) as f:
             scans = [line.rstrip() for line in f if line.strip()]
         for scan in scans:
             scan_id = int(scan[4:])
-            filter_depth(os.path.join(args.testpath, scan),
-                         os.path.join(args.outdir, scan),
-                         os.path.join(args.outdir, f"itermvs{scan_id:0>3}_l3.ply"),
-                         args.geo_pixel_thres, args.geo_depth_thres,
-                         args.photo_thres, img_wh, 4)
+            _, secs = filter_depth(
+                os.path.join(args.testpath, scan),
+                os.path.join(args.outdir, scan),
+                os.path.join(args.outdir, f"itermvs{scan_id:0>3}_l3.ply"),
+                args.geo_pixel_thres, args.geo_depth_thres,
+                args.photo_thres, img_wh, 4, display=args.display)
+            timings.append((scan, secs))
     elif args.dataset == "tanks":
         thres = (TANKS_INTERMEDIATE_THRES if args.split == "intermediate"
                  else TANKS_ADVANCED_THRES)
         for scan, gm in thres.items():
-            filter_depth(os.path.join(args.testpath, args.split, scan),
-                         os.path.join(args.outdir, scan),
-                         os.path.join(args.outdir, scan + ".ply"),
-                         args.geo_pixel_thres, args.geo_depth_thres,
-                         args.photo_thres, img_wh, gm)
+            _, secs = filter_depth(
+                os.path.join(args.testpath, args.split, scan),
+                os.path.join(args.outdir, scan),
+                os.path.join(args.outdir, scan + ".ply"),
+                args.geo_pixel_thres, args.geo_depth_thres,
+                args.photo_thres, img_wh, gm, display=args.display)
+            timings.append((scan, secs))
     elif args.dataset == "eth3d":
         thres = ETH3D_TEST_THRES if args.split == "test" else ETH3D_TRAIN_THRES
         for scan, gm in thres.items():
-            start = time.time()
-            filter_depth(os.path.join(args.testpath, scan),
-                         os.path.join(args.outdir, scan),
-                         os.path.join(args.outdir, scan + ".ply"),
-                         args.geo_pixel_thres, args.geo_depth_thres,
-                         args.photo_thres, img_wh, gm)
-            print(f"scan: {scan} time = {time.time() - start:3f}")
+            _, secs = filter_depth(
+                os.path.join(args.testpath, scan),
+                os.path.join(args.outdir, scan),
+                os.path.join(args.outdir, scan + ".ply"),
+                args.geo_pixel_thres, args.geo_depth_thres,
+                args.photo_thres, img_wh, gm, display=args.display)
+            print(f"scan: {scan} time = {secs:3f}")
+            timings.append((scan, secs))
     else:
-        filter_depth(args.testpath, args.outdir,
-                     os.path.join(args.outdir, "custom.ply"),
-                     args.geo_pixel_thres, args.geo_depth_thres,
-                     args.photo_thres, img_wh, geo_mask_thres=3)
+        _, secs = filter_depth(
+            args.testpath, args.outdir,
+            os.path.join(args.outdir, "custom.ply"),
+            args.geo_pixel_thres, args.geo_depth_thres,
+            args.photo_thres, img_wh, geo_mask_thres=3, display=args.display)
+        timings.append(("custom", secs))
+    if timings:
+        mean = sum(s for _, s in timings) / len(timings)
+        print(f"fusion: {len(timings)} scan(s), mean {mean:.2f} sec/scene")
 
 
 if __name__ == "__main__":

@@ -41,19 +41,41 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
-                 drop_last=False, seed=0, prefetch_batches=2):
+                 drop_last=False, seed=0, prefetch_batches=2,
+                 process_index=0, process_count=1):
+        """`batch_size` is the GLOBAL batch. Under a multi-host launch
+        (process_count > 1) each process loads only its contiguous
+        1/process_count slice of every global batch; all processes share
+        the same (seed, epoch)-keyed shuffle order, so the slices
+        partition each global batch exactly (the per-host half of
+        parallel/mesh.py:shard_batch)."""
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
         self.prefetch_batches = prefetch_batches
         self._epoch = 0
+        self._skip = 0
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0):
+        """Pin the next iteration's shuffle order to `epoch` and skip its
+        first `skip_batches` batches — the loader half of step-granularity
+        resume (shuffle order is a pure function of (seed, epoch), so a
+        restarted run regenerates the identical batch sequence)."""
+        self._epoch = int(epoch)
+        self._skip = int(skip_batches)
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.process_count > 1:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -63,10 +85,19 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         batches = []
+        local = self.batch_size // self.process_count
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
-                continue
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.process_count > 1:
+                    # Multi-host requires full global batches: every
+                    # process must contribute an equal local slice.
+                    continue
+            if self.process_count > 1:
+                chunk = chunk[self.process_index * local:
+                              (self.process_index + 1) * local]
             batches.append(chunk)
         return batches
 
@@ -75,8 +106,9 @@ class DataLoader:
         # while staying reproducible under threaded workers.
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self._epoch)
-        batches = self._batch_indices()
+        batches = self._batch_indices()[self._skip:]
         self._epoch += 1
+        self._skip = 0
         if not batches:
             return
 

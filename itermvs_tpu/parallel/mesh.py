@@ -34,9 +34,18 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    Single-process: a plain sharded device_put. Multi-host: each process
+    passes only its LOCAL slice of the global batch (the loader's
+    per-host sharding, data/loader.py) and the global array is assembled
+    from process-local shards without any cross-host data movement.
+    """
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
 
 
 # Environment markers of a multi-process launch. When none is present the

@@ -60,14 +60,67 @@ def test_fusion_on_exact_depth(scene, tmp_path):
 
     root, _, _ = scene
     ply = str(tmp_path / "fused.ply")
-    n = filter_depth(root, root, ply, geo_pixel_thres=1.0, geo_depth_thres=0.01,
-                     photo_thres=0.3, img_wh=(128, 96), geo_mask_thres=3,
-                     verbose=False)
+    n, _ = filter_depth(root, root, ply, geo_pixel_thres=1.0, geo_depth_thres=0.01,
+                        photo_thres=0.3, img_wh=(128, 96), geo_mask_thres=3,
+                        verbose=False)
     assert n > 4 * 96 * 128 * 0.5, "most pixels should survive fusion"
     xyz, rgb = read_ply(ply)
     # All fused points must lie on the world plane z = Z0.
     assert np.abs(xyz[:, 2] - Z0).max() < 0.02
     assert rgb is not None and rgb.shape == xyz.shape
+
+
+def test_fusion_streams_with_bounded_compiles(tmp_path):
+    """Varying source counts must reuse a few bucketed kernel signatures,
+    the decoded-view cache must stay bounded, and --display must write
+    the five reference visualization images per ref view."""
+    from itermvs_tpu import fusion
+    from itermvs_tpu.io import write_pair_file
+
+    root = str(tmp_path / "bigscene")
+    build_scene_dir(root, num_views=14, width=64, height=48)
+    # Pair list with ragged source counts 5..9 → buckets {6, 8, 10}.
+    pairs = []
+    for r in range(14):
+        n_src = 5 + r % 5
+        srcs = [(s % 14, 10.0) for s in range(r + 1, r + 1 + n_src)]
+        pairs.append((r, srcs))
+    write_pair_file(os.path.join(root, "pair.txt"), pairs)
+
+    before = fusion._consistency_kernel._cache_size()
+    ply = str(tmp_path / "fused_big.ply")
+    n, secs = filter_depth_with_cache_probe(fusion, root, ply)
+    assert n > 0 and secs > 0
+    compiled = fusion._consistency_kernel._cache_size() - before
+    assert compiled <= 3, f"expected ≤3 bucketed kernel compiles, got {compiled}"
+    for r in range(14):
+        for tag in ("ref_img", "ref_depth", "depth_photo_mask",
+                    "depth_geo_mask", "depth_final_mask"):
+            assert os.path.exists(os.path.join(root, f"display/{r:0>8}_{tag}.png"))
+
+
+def filter_depth_with_cache_probe(fusion, root, ply):
+    """Run filter_depth while asserting the view LRU never exceeds maxsize."""
+    orig = fusion._ViewCache.view
+    observed = []
+
+    def probed(self, vid):
+        out = orig(self, vid)
+        observed.append(len(self._cache))
+        assert len(self._cache) <= self.maxsize
+        return out
+
+    fusion._ViewCache.view = probed
+    try:
+        n, secs = fusion.filter_depth(
+            root, root, ply, geo_pixel_thres=1.0, geo_depth_thres=0.01,
+            photo_thres=0.3, img_wh=(64, 48), geo_mask_thres=3,
+            verbose=False, display=True)
+    finally:
+        fusion._ViewCache.view = orig
+    # 14 views, max 9 srcs → maxsize 12 < 14: eviction must have happened.
+    assert max(observed) <= 12
+    return n, secs
 
 
 def test_fusion_rejects_inconsistent_depth(scene, tmp_path):

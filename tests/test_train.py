@@ -105,6 +105,67 @@ def test_data_parallel_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(pd), np.asarray(p1), atol=2e-5)
 
 
+class _IdxDataset:
+    """Tiny dataset whose samples are their own indices."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((2,), i, np.float32)}
+
+
+def test_loader_step_resume_reproduces_batches():
+    """set_epoch(e, skip=k) must continue on the exact batch sequence a
+    continuous run would have produced (step-granularity resume)."""
+    from itermvs_tpu.data.loader import DataLoader
+
+    ds = _IdxDataset(13)
+    full = DataLoader(ds, batch_size=3, shuffle=True, num_workers=2,
+                      drop_last=True, seed=7)
+    full.set_epoch(5)
+    batches = [b["x"][:, 0] for b in full]
+
+    resumed = DataLoader(ds, batch_size=3, shuffle=True, num_workers=2,
+                         drop_last=True, seed=7)
+    resumed.set_epoch(5, skip_batches=2)
+    tail = [b["x"][:, 0] for b in resumed]
+    assert len(tail) == len(batches) - 2
+    for a, b in zip(batches[2:], tail):
+        np.testing.assert_array_equal(a, b)
+
+    # Next epoch after a pinned one keeps advancing (epoch 6 ≠ epoch 5).
+    after = [b["x"][:, 0] for b in resumed]
+    assert len(after) == len(batches)
+    assert any(not np.array_equal(a, b) for a, b in zip(batches, after))
+
+
+def test_step_checkpoint_roundtrip(setup, tmp_path):
+    """Step checkpoints rank between epoch checkpoints and restore with
+    their (epoch, step) position."""
+    from itermvs_tpu.engine.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint)
+
+    model, variables, batch = setup
+    tx = make_optimizer()
+    state = create_train_state(variables, tx)
+    logdir = str(tmp_path)
+
+    save_checkpoint(logdir, 0, state)                 # epoch 0 done
+    p_mid = save_checkpoint(logdir, 1, state, step=40)  # mid epoch 1
+    assert latest_checkpoint(logdir) == p_mid
+    _, epoch, step = restore_checkpoint(p_mid, state)
+    assert (epoch, step) == (1, 40)
+
+    p_end = save_checkpoint(logdir, 1, state)         # epoch 1 done
+    assert latest_checkpoint(logdir) == p_end          # supersedes step ckpt
+    _, epoch, step = restore_checkpoint(p_end, state)
+    assert (epoch, step) == (1, None)
+
+
 def test_lr_schedule():
     assert lr_for_epoch(1e-3, 0, "4,8,12:2") == 1e-3
     assert lr_for_epoch(1e-3, 4, "4,8,12:2") == pytest.approx(5e-4)

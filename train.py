@@ -64,6 +64,10 @@ parser.add_argument("--small_image", action="store_true",
 parser.add_argument("--summary_freq", type=int, default=20,
                     help="print and summary frequency")
 parser.add_argument("--save_freq", type=int, default=1, help="save checkpoint frequency")
+parser.add_argument("--save_step_freq", type=int, default=0,
+                    help="additionally checkpoint every N train steps "
+                         "(0 = off); resume continues mid-epoch on the "
+                         "exact next batch")
 parser.add_argument("--seed", type=int, default=1, metavar="S", help="random seed")
 parser.add_argument("--iteration", type=int, default=4, help="num of iteration of GRU")
 parser.add_argument("--debug_nans", action="store_true",
@@ -117,10 +121,16 @@ def main():
                                robust_train=True, seed=args.seed)
     val_dataset = MVSDataset(args.valpath, args.vallist, "val", 5,
                              robust_train=False, seed=args.seed)
+    # Under a multi-host launch each process loads only its slice of the
+    # global batch; shard_batch assembles the global array from the
+    # process-local shards.
+    pidx, pcount = jax.process_index(), jax.process_count()
     train_loader = DataLoader(train_dataset, args.batch_size, shuffle=True,
-                              num_workers=4, drop_last=True, seed=args.seed)
+                              num_workers=4, drop_last=True, seed=args.seed,
+                              process_index=pidx, process_count=pcount)
     val_loader = DataLoader(val_dataset, args.batch_size, shuffle=False,
-                            num_workers=4, drop_last=False)
+                            num_workers=4, drop_last=False,
+                            process_index=pidx, process_count=pcount)
 
     # Data-parallel mesh when the batch divides the device count.
     n_dev = jax.device_count()
@@ -145,16 +155,22 @@ def main():
     print(f"Number of model parameters: {num_params}")
 
     start_epoch = 0
+    skip_batches = 0
     if (args.mode == "train" and args.resume) or (args.mode == "val" and not args.loadckpt):
         ckpt = latest_checkpoint(args.logdir)
         assert ckpt is not None, f"no checkpoint to resume in {args.logdir}"
         print("resuming", ckpt)
-        state, epoch = restore_checkpoint(ckpt, state)
-        start_epoch = epoch + 1
+        state, epoch, step = restore_checkpoint(ckpt, state)
+        if step is None:
+            start_epoch = epoch + 1
+        else:  # mid-epoch: re-enter `epoch` and skip its finished batches
+            start_epoch = epoch
+            skip_batches = step
     elif args.loadckpt:
         print(f"loading model {args.loadckpt}")
         state = restore_weights_only(args.loadckpt, state)
-    print(f"start at epoch {start_epoch}")
+    print(f"start at epoch {start_epoch}"
+          + (f" (skipping {skip_batches} batches)" if skip_batches else ""))
 
     train_step = make_train_step(model, tx, regress=args.regress,
                                  num_iters=args.iteration, mesh=mesh)
@@ -221,7 +237,14 @@ def main():
         lr = lr_for_epoch(args.lr, epoch_idx, args.lrepochs)
         global_step = len(train_loader) * epoch_idx
 
-        for batch_idx, sample in enumerate(train_loader):
+        # Pin the shuffle order to the true epoch index (so resumed runs
+        # regenerate the same batch sequence) and skip already-trained
+        # batches when resuming from a step checkpoint.
+        train_loader.set_epoch(epoch_idx, skip_batches)
+        first_batch = skip_batches
+        skip_batches = 0
+
+        for batch_idx, sample in enumerate(train_loader, start=first_batch):
             start = time.time()
             step_no = len(train_loader) * epoch_idx + batch_idx
             batch = to_device_batch(sample, mesh)
@@ -237,6 +260,12 @@ def main():
                       f"Iter {batch_idx}/{len(train_loader)}, "
                       f"lr {lr:.6f}, train loss = {scalars['loss']:.3f}, "
                       f"time = {time.time() - start:.3f}")
+            if (args.save_step_freq > 0
+                    and (batch_idx + 1) % args.save_step_freq == 0
+                    and batch_idx + 1 < len(train_loader)):
+                path = save_checkpoint(args.logdir, epoch_idx, state,
+                                       step=batch_idx + 1)
+                print("saved", path)
 
         if (epoch_idx + 1) % args.save_freq == 0:
             path = save_checkpoint(args.logdir, epoch_idx, state)
