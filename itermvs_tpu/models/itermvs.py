@@ -221,12 +221,17 @@ class Evaluation(nn.Module):
             key = f"level{level}"
             ref = ref_features[key]
             samples = depth_samples[key]
-            corr = jnp.stack([
-                warp_corr_packed(src_features[key][v], ref,
-                                 rel_projs[key][:, v], samples, GROUPS)
-                for v in range(num_views)
-            ], axis=1)                                        # [B,V,Nl,H,W,G]
-            agg = jnp.einsum("bvnhwg,bvhw->bnhwg", corr, w_hw) / weight_sum
+            # Accumulate the weighted sum in the unrolled view loop
+            # instead of stacking [B,V,Nl,H,W,G] and reducing — skips
+            # materializing the per-view stack in HBM every iteration.
+            agg = None
+            for v in range(num_views):
+                corr_v = warp_corr_packed(src_features[key][v], ref,
+                                          rel_projs[key][:, v], samples,
+                                          GROUPS)              # [B,Nl,H,W,G]
+                wv = w_hw[:, v][:, None, :, :, None]           # [B,1,H,W,1]
+                agg = corr_v * wv if agg is None else agg + corr_v * wv
+            agg = agg / weight_sum
             score = self._corr_net(level)(agg)                # [B,Nl,H,W]
             correlations.append(score)
         out = jnp.concatenate(correlations, axis=1)           # [B,10,H4,W4]

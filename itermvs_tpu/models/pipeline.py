@@ -38,9 +38,11 @@ class Pipeline(nn.Module):
     iteration: int = 4
     test: bool = False
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     def setup(self):
-        self.feature_net = FeatureNet(dtype=self.dtype, name="feature_net")
+        self.feature_net = FeatureNet(dtype=self.dtype, s2d_stem=self.s2d_stem,
+                                      name="feature_net")
         self.iter_mvs = IterMVS(iteration=self.iteration, test=self.test,
                                 dtype=self.dtype, name="iter_mvs")
 

@@ -31,6 +31,11 @@ from itermvs_tpu.utils import enable_persistent_cache  # noqa: E402
 enable_persistent_cache()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full-resolution parity etc.)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -17,17 +17,26 @@ import jax
 
 
 def main():
+    import os as _os
+
     from itermvs_tpu.utils import enable_persistent_cache
 
     enable_persistent_cache()
     from itermvs_tpu.models import Pipeline
     from __graft_entry__ import _example_inputs
 
-    width, height, views = 1152, 864, 5
+    # Env overrides: ITERMVS_PROF_WH=1600x1152  ITERMVS_PROF_S2D=1
+    #                ITERMVS_PROF_DTYPE=float32
+    wh = _os.environ.get("ITERMVS_PROF_WH", "1152x864")
+    width, height = (int(v) for v in wh.split("x"))
+    views = int(_os.environ.get("ITERMVS_PROF_VIEWS", "5"))
+    s2d = _os.environ.get("ITERMVS_PROF_S2D", "0") == "1"
     imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
     import jax.numpy as jnp
 
-    model = Pipeline(iteration=4, test=True, dtype=jnp.bfloat16)
+    dtype = jnp.dtype(_os.environ.get("ITERMVS_PROF_DTYPE", "bfloat16"))
+    print(f"profiling {width}x{height} V={views} dtype={dtype} s2d={s2d}")
+    model = Pipeline(iteration=4, test=True, dtype=dtype, s2d_stem=s2d)
     variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
 
     @jax.jit

@@ -70,6 +70,12 @@ parser.add_argument("--save_step_freq", type=int, default=0,
                          "exact next batch")
 parser.add_argument("--seed", type=int, default=1, metavar="S", help="random seed")
 parser.add_argument("--iteration", type=int, default=4, help="num of iteration of GRU")
+parser.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="training compute precision: float32 = reference "
+                         "parity recipe; bfloat16 runs convs/features/warp "
+                         "tables on the MXU fast path (loss, heads, geometry "
+                         "and BatchNorm statistics stay float32)")
 parser.add_argument("--debug_nans", action="store_true",
                     help="abort with a traceback on the first NaN produced "
                          "on device (jax_debug_nans)")
@@ -138,7 +144,8 @@ def main():
     if mesh is not None:
         print(f"data-parallel over {n_dev} devices")
 
-    model = Pipeline(iteration=args.iteration, test=False)
+    model = Pipeline(iteration=args.iteration, test=False,
+                     dtype=jnp.dtype(args.precision))
     tx = make_optimizer(args.wd)
 
     sample0 = train_dataset[0]
