@@ -52,6 +52,56 @@ class PackedSource(NamedTuple):
     data: jnp.ndarray
     corners: int
 
+    @property
+    def src_shape(self):
+        return self.data.shape
+
+
+# XLA:TPU's vectorized dynamic row-gather runs ~2-3 ns/row while the
+# table holds at most 2^15 8-row sublane tiles (262144 rows) and ~5x
+# slower above — measured via device trace at 1600x1152: the level-1
+# [460800, 64] table gathers at 10.8 ns/row while [248832, 64] /
+# [230400, 192] / [115200, 128] all gather at ~1.9-3 ns/row, and
+# splitting channels ([460800, 32]) does NOT help, so the cliff is on
+# row count, not bytes.
+FAST_GATHER_MAX_ROWS = 262144
+
+
+class BandedSource(NamedTuple):
+    """A 4-corner-packed table split into row bands that each fit the
+    fast-gather row limit. Every sample is gathered from every band
+    with band-clipped indices and masked to the band that owns its row:
+    n_bands × fast-rate beats 1 × cliff-rate for n_bands ≤ ~4."""
+    bands: tuple          # of [rows_i, corners*C] flat tables
+    row_offsets: tuple    # starting flat row of each band
+    shape: tuple          # original (B, H, W, corners*C)
+    corners: int
+
+    @property
+    def src_shape(self):
+        return self.shape
+
+
+def pack_corners_fast(src: jnp.ndarray, corners: int = 4):
+    """`pack_corners`, row-banded when the table exceeds the fast-gather
+    row limit (split once at pack time; reused by every warp)."""
+    packed = pack_corners(src, corners)
+    b, h, w, ck = packed.data.shape
+    rows = b * h * w
+    if corners != 4 or rows <= FAST_GATHER_MAX_ROWS:
+        return packed
+    n = -(-rows // FAST_GATHER_MAX_ROWS)
+    per = -(-rows // n)
+    flat = packed.data.reshape(rows, ck)
+    bands = []
+    offsets = []
+    for i in range(n):
+        off = i * per
+        size = min(per, rows - off)
+        bands.append(flat[off:off + size])
+        offsets.append(off)
+    return BandedSource(tuple(bands), tuple(offsets), (b, h, w, ck), 4)
+
 
 def pack_corners(src: jnp.ndarray, corners: int = 4) -> PackedSource:
     """Corner-pack `[..., H, W, C]` features for fast bilinear gathers.
@@ -114,6 +164,22 @@ def _flat_take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
 
 
+def _flat_take_banded(bands, row_offsets, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather over a row-banded table: each band is gathered with
+    band-clipped indices and masked to the rows it owns. Each row lands
+    in exactly one band, so the masked partials sum to the exact gather."""
+    flat = idx.reshape(-1)
+    acc = None
+    for band, off in zip(bands, row_offsets):
+        size = band.shape[0]
+        g = jnp.take(band, jnp.clip(flat - off, 0, size - 1), axis=0,
+                     mode="clip")
+        mask = ((flat >= off) & (flat < off + size)).astype(band.dtype)
+        g = g * mask[:, None]
+        acc = g if acc is None else acc + g
+    return acc
+
+
 def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
                     ) -> jnp.ndarray:
     """Sample a `PackedSource` at pixel coords `px, py` [B, ...].
@@ -121,14 +187,19 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     Returns `[B, ..., C]`. 1, 2, or 4 flat row gathers (by packing
     factor) + tap-weighted sum; identical math in all modes.
     """
-    data = packed.data
+    banded = isinstance(packed, BandedSource)
     corners = packed.corners
-    b, h, w, ck = data.shape
+    b, h, w, ck = packed.src_shape
     c = ck // corners
     out_shape = px.shape[1:]
     px = px.reshape(b, -1)
     py = py.reshape(b, -1)
-    table = data.reshape(b * h * w, ck)
+    if banded:
+        data = packed.bands[0]            # dtype carrier only
+        table = None
+    else:
+        data = packed.data
+        table = data.reshape(b * h * w, ck)
     boff = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None] if b > 1 else 0
 
     # Tap weights are applied in the table's dtype: exact in float32
@@ -142,7 +213,11 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     if corners == 4:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, wy_a, wy_b = _axis_taps(py, h)
-        vals = _flat_take(table, by * w + bx + boff)
+        idx = by * w + bx + boff
+        if banded:
+            vals = _flat_take_banded(packed.bands, packed.row_offsets, idx)
+        else:
+            vals = _flat_take(table, idx)
         v = vals.reshape(b, -1, 4, c)
         wgt = jnp.stack([wy_a * wx_a, wy_a * wx_b, wy_b * wx_a, wy_b * wx_b],
                         axis=-1)                             # [B, P, 4]

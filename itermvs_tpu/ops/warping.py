@@ -31,7 +31,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from itermvs_tpu.ops.grid_sample import gather_bilinear, pack_corners
+from itermvs_tpu.ops.grid_sample import (
+    gather_bilinear, pack_corners, pack_corners_fast)
 
 
 def _projection_pixels(proj: jnp.ndarray, depth_samples: jnp.ndarray,
@@ -82,14 +83,17 @@ def _projection_pixels(proj: jnp.ndarray, depth_samples: jnp.ndarray,
 
 
 def pack_bilinear(src_fea: jnp.ndarray):
-    """Corner-pack source features `[B, H1, W1, C]` → `PackedSource`.
+    """Corner-pack source features `[B, H1, W1, C]` → packed table.
 
     Build once per (view, level); every warp against the same source —
-    the init sweep and all GRU iterations — reuses it. The packing
-    factor (4/2/1 corners per gather row) adapts to the XLA fast-gather
-    table-size limit (see ops/grid_sample.py).
+    the init sweep and all GRU iterations — reuses it. Tables whose row
+    count exceeds the measured fast-gather limit (2^15 8-row sublane
+    tiles — e.g. level-1 at ≥1600×1152) are split into row bands at
+    pack time: each band gathers at the ~2-3 ns/row fast rate, which
+    beats one cliff-rate gather (10.8 ns/row measured) for ≤4 bands.
+    See ops/grid_sample.py FAST_GATHER_MAX_ROWS.
     """
-    return pack_corners(src_fea)
+    return pack_corners_fast(src_fea)
 
 
 def differentiable_warp_packed(packed_src, proj: jnp.ndarray,
@@ -102,7 +106,7 @@ def differentiable_warp_packed(packed_src, proj: jnp.ndarray,
 
     Returns warped features [B, N, H, W, C].
     """
-    px, py = _projection_pixels(proj, depth_samples, packed_src.data.shape[1:3])
+    px, py = _projection_pixels(proj, depth_samples, packed_src.src_shape[1:3])
     return gather_bilinear(packed_src, px, py)
 
 
@@ -136,7 +140,7 @@ def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
     C/G in-group channels of (warped ⊙ ref).
     """
     b, n, h, w = depth_samples.shape
-    c = packed_src.data.shape[-1] // packed_src.corners
+    c = packed_src.src_shape[-1] // packed_src.corners
     cg = c // groups
     warped = differentiable_warp_packed(packed_src, proj, depth_samples)
     # Multiply in the feature dtype, accumulate the group mean in f32

@@ -194,3 +194,31 @@ def test_pack_modes_agree(rng):
     # and the adaptive default matches too
     auto = np.asarray(gather_bilinear(pack_corners(src_j), px_j, py_j))
     np.testing.assert_allclose(auto, outs[0], atol=1e-6)
+
+
+def test_banded_gather_matches_single_table(rng, monkeypatch):
+    """Row-banded tables (the fast-gather row-limit split) must produce
+    exactly the single-table warp + correlation."""
+    import sys
+
+    import itermvs_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["itermvs_tpu.ops.grid_sample"]
+    from itermvs_tpu.ops.warping import warp_corr, warp_corr_packed
+
+    b, c, g, n = 1, 16, 8, 3
+    h = w = h1 = w1 = 12
+    src = rng.rand(b, h1, w1, c).astype(np.float32)
+    ref_fea = rng.rand(b, h, w, c).astype(np.float32)
+    proj = np.eye(4, dtype=np.float32)[None]
+    proj[0, 0, 3] = 0.3
+    depth = rng.uniform(2, 4, (b, n, h, w)).astype(np.float32)
+
+    base = np.asarray(warp_corr(jnp.asarray(src), jnp.asarray(ref_fea),
+                                jnp.asarray(proj), jnp.asarray(depth), g))
+    # Force banding with a tiny row limit (table has 144 rows -> 3 bands).
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 50)
+    banded = gs.pack_corners_fast(jnp.asarray(src))
+    assert isinstance(banded, gs.BandedSource) and len(banded.bands) == 3
+    got = np.asarray(warp_corr_packed(banded, jnp.asarray(ref_fea),
+                                      jnp.asarray(proj), jnp.asarray(depth), g))
+    np.testing.assert_allclose(got, base, atol=1e-6)
