@@ -145,10 +145,12 @@ def save_depth(args, img_wh):
         start = time.time()
         n_real = len(sample["filename"])
         pad = args.batch_size - n_real if mesh is not None else 0
+        # Upload only what the model reads (pipeline.py: level_0 images,
+        # level_1..3 projections) — ~25% less host→device traffic/batch.
         imgs = {k: jnp.asarray(_pad(v, pad) if pad else v)
-                for k, v in sample["imgs"].items()}
+                for k, v in sample["imgs"].items() if k == "level_0"}
         projs = {k: jnp.asarray(_pad(v, pad) if pad else v)
-                 for k, v in sample["proj_matrices"].items()}
+                 for k, v in sample["proj_matrices"].items() if k != "level_0"}
         dmin = jnp.asarray(_pad(sample["depth_min"], pad) if pad
                            else sample["depth_min"])
         dmax = jnp.asarray(_pad(sample["depth_max"], pad) if pad

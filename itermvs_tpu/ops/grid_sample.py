@@ -218,11 +218,20 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
             vals = _flat_take_banded(packed.bands, packed.row_offsets, idx)
         else:
             vals = _flat_take(table, idx)
-        v = vals.reshape(b, -1, 4, c)
-        wgt = jnp.stack([wy_a * wx_a, wy_a * wx_b, wy_b * wx_a, wy_b * wx_b],
-                        axis=-1)                             # [B, P, 4]
-        (wgt,) = cast(wgt)
-        out = jnp.sum(v * wgt[..., None], axis=2)            # [B, P, C]
+        v = vals.reshape(b, -1, 4 * c)
+        # Corner sum as 4 contiguous lane-slices + weighted adds (pure
+        # elementwise) instead of reshape-[.., 4, C] + reduce over the
+        # corner axis: the cross-minor reduce makes XLA relayout the
+        # gathered block to column-major first (measured ~6.5 ms/step of
+        # [P, 4C] transposes at 1152×864, ~21 ms at 1600×1152).
+        (w00,) = cast(wy_a * wx_a)
+        (w01,) = cast(wy_a * wx_b)
+        (w10,) = cast(wy_b * wx_a)
+        (w11,) = cast(wy_b * wx_b)
+        out = (v[..., 0 * c:1 * c] * w00[..., None]
+               + v[..., 1 * c:2 * c] * w01[..., None]
+               + v[..., 2 * c:3 * c] * w10[..., None]
+               + v[..., 3 * c:4 * c] * w11[..., None])       # [B, P, C]
     elif corners == 2:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, by2, wy_a, wy_b = _axis_taps_pair(py, h)

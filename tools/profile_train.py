@@ -38,7 +38,9 @@ def main():
         mask[f"level_{lvl}"] = jnp.asarray(
             (rng.rand(batch, h, w, 1) > 0.2).astype(np.float32))
 
-    model = Pipeline(iteration=4, test=False)
+    dtype = jnp.dtype(os.environ.get("ITERMVS_PROF_DTYPE", "float32"))
+    print(f"train step profile: dtype={dtype}")
+    model = Pipeline(iteration=4, test=False, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax,
                            train=False)
     tx = make_optimizer()
