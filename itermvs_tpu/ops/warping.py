@@ -144,7 +144,11 @@ def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
     cg = c // groups
     warped = differentiable_warp_packed(packed_src, proj, depth_samples)
     # Multiply in the feature dtype, accumulate the group mean in f32
-    # (the reduce fusion reads bf16 and emits f32 in bf16 mode).
+    # (the reduce fusion reads bf16 and emits f32 in bf16 mode). Note:
+    # expressing this sum as cg strided lane-slices + adds (like the
+    # corner sum in gather_bilinear) was measured SLOWER (83 → 90 ms at
+    # 1152×864) — strided lane shuffles cost more than the reduce's
+    # relayout; contiguous corner slices are the exception, not the rule.
     prod = warped.reshape(b, n, h, w, groups, cg) * ref_fea.reshape(
         b, 1, h, w, groups, cg
     ).astype(warped.dtype)

@@ -58,29 +58,41 @@ def main():
     with gzip.open(paths[0], "rt") as f:
         trace = json.load(f)
 
+    import re
+
     # Track (pid/tid) names from metadata events.
     tracks = {}
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             tracks[ev.get("pid")] = (ev.get("args") or {}).get("name", "?")
 
-    # Aggregate complete events per (track, name).
-    totals = collections.Counter()
+    # Aggregate TPU ops: by category (op-name prefix) and by canonical
+    # HLO long_name (op ids stripped so repeated identical ops merge).
+    cats = collections.Counter()
+    ops = collections.Counter()
     counts = collections.Counter()
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
-        pid = ev.get("pid")
-        key = (tracks.get(pid, str(pid)), ev.get("name", "?"))
-        totals[key] += ev.get("dur", 0)
+        if "TPU" not in tracks.get(ev.get("pid"), ""):
+            continue
+        name = ev.get("name", "?")
+        if name.startswith("jit_"):
+            continue
+        cats[name.split(".")[0]] += ev.get("dur", 0)
+        long = str((ev.get("args") or {}).get("long_name") or name)
+        key = re.sub(r"\.\d+", "", long)[:130]
+        ops[key] += ev.get("dur", 0)
         counts[key] += 1
 
-    print("tracks:", sorted(set(tracks.values())))
-    grand = sum(totals.values())
-    print(f"total event time: {grand / 1e3:.1f} ms over 3 steps\n")
-    for (track, name), dur in totals.most_common(60):
-        print(f"{dur / 1e3 / 3:9.3f} ms/step  x{counts[(track, name)]:4d}  "
-              f"[{track[:28]}] {name[:100]}")
+    steps = 3
+    print(f"device total: {sum(cats.values()) / 1e3 / steps:.1f} ms/step\n")
+    print("-- by category (op-name prefix) --")
+    for base, dur in cats.most_common(12):
+        print(f"  {base:26s} {dur / 1e3 / steps:8.2f} ms/step")
+    print("\n-- top ops (canonicalized HLO) --")
+    for key, dur in ops.most_common(40):
+        print(f"{dur / 1e3 / steps:8.2f} ms/step x{counts[key]:4d}  {key[:110]}")
 
 
 if __name__ == "__main__":
