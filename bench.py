@@ -13,9 +13,10 @@ bit-compared against the torch reference in tests.
     (reference eval.py:47);
   * fusion sec/scene: itermvs_tpu.fusion.filter_depth on a synthetic
     7-view scan at 1600×1152 (depths predicted by the model), second
-    run (first run pays kernel compiles). Baseline 41.56 s/scene is the
-    reference's NumPy/cv2 fusion loop (eval.py:212-309) measured on
-    this host on the identical scan (tools/bench_reference_fusion.py);
+    run (first run pays kernel compiles). Baseline 179.6 s/scene is the
+    reference's NumPy/cv2 fusion loop (eval.py:212-309) incl. the same
+    mask/PLY output flow, measured on this host on the identical scan
+    (tools/bench_reference_fusion.py);
   * end-to-end quality: DTU-protocol scorer (acc/comp/overall,
     benchmark/dtu_score.py) on the fused cloud vs the scene's analytic
     plane GT — a synthetic stand-in for the 0.363 mm DTU overall
@@ -42,9 +43,10 @@ import numpy as np
 
 BASELINE_MAPS_PER_SEC = 1.0 / 0.17
 # Reference fusion (NumPy + cv2.remap, eval.py:212-309) on the same
-# synthetic 7-view 1600x1152 scan, this host (tools/bench_reference_fusion.py,
-# measured 2026-08-16: 41.56 s/scene).
-BASELINE_FUSION_SEC_PER_SCENE = 41.56
+# synthetic 7-view 1600x1152 scan, this host, including the full output
+# flow (mask PNGs, back-projection, PLY) like our timing does
+# (tools/bench_reference_fusion.py, measured 2026-08-17: 179.6 s/scene).
+BASELINE_FUSION_SEC_PER_SCENE = 179.6
 BASELINE_DTU_OVERALL_MM = 0.363
 
 CKPT = "/root/reference/checkpoints/dtu/model_000015.ckpt"

@@ -34,7 +34,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from itermvs_tpu.io import read_pfm, read_pair_file, read_camera_parameters, write_ply
+from itermvs_tpu.io import read_pfm, read_pair_file, read_camera_parameters
+from itermvs_tpu.io.ply import PlyWriter
 from itermvs_tpu.ops.grid_sample import gather_bilinear, pack_corners
 
 # Source-axis padding buckets: the consistency kernel compiles once per
@@ -241,8 +242,7 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
                        maxsize=max(max_srcs + 2, 12))
 
     os.makedirs(os.path.join(out_folder, "mask"), exist_ok=True)
-    vertices = []
-    colors = []
+    ply = PlyWriter(plyfilename)
 
     def dispatch(ref_view, src_views):
         """Host prep + async kernel launch for one reference view."""
@@ -327,8 +327,10 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
         e_inv = np.linalg.inv(ref["E"].astype(np.float64))
         m = e_inv[:3, :3] @ k_inv                           # pixel→world
         xyz_world = pix @ m.T + e_inv[:3, 3]
-        vertices.append(xyz_world.astype(np.float32))
-        colors.append((ref_img[valid] * 255).astype(np.uint8))
+        # Stream this view's points to disk now — the write overlaps the
+        # next view's kernel, and the cloud never accumulates in RAM.
+        ply.add(xyz_world.astype(np.float32),
+                (ref_img[valid] * 255).astype(np.uint8))
 
     # Software pipeline: view i's (slow) host fetch + PNG/vertex work
     # overlaps view i+1's device kernel (dispatch is async).
@@ -341,10 +343,8 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
     if pending is not None:
         finalize(*pending)
 
-    xyz = np.concatenate(vertices, axis=0)
-    rgb = np.concatenate(colors, axis=0)
-    write_ply(plyfilename, xyz, rgb)
+    n_points = ply.close()
     elapsed = time.time() - start
     print(f"saving the final model to {plyfilename} "
-          f"({xyz.shape[0]} points, {elapsed:.2f}s)")
-    return xyz.shape[0], elapsed
+          f"({n_points} points, {elapsed:.2f}s)")
+    return n_points, elapsed

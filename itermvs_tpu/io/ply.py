@@ -54,6 +54,55 @@ def write_ply(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
         vertices.tofile(f)
 
 
+class PlyWriter:
+    """Streaming binary PLY writer: vertices are appended chunk by chunk
+    and the header's vertex count is patched on close (written as a
+    zero-padded 12-digit integer, which every ASCII-int parser reads).
+
+    Lets fusion write each reference view's points as they are produced
+    — the disk IO overlaps the next view's compute and the full cloud
+    never accumulates in memory.
+    """
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+        self._n = 0
+        header_head = "ply\nformat binary_little_endian 1.0\nelement vertex "
+        self._f.write(header_head.encode("ascii"))
+        self._count_offset = self._f.tell()
+        self._f.write(b"000000000000\n")
+        self._f.write(
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            b"end_header\n")
+
+    def add(self, xyz: np.ndarray, rgb: np.ndarray) -> None:
+        xyz = np.ascontiguousarray(xyz, dtype=np.float32)
+        rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+        if xyz.ndim != 2 or xyz.shape[1] != 3 or rgb.shape != xyz.shape:
+            raise ValueError(f"bad chunk shapes xyz={xyz.shape} rgb={rgb.shape}")
+        n = xyz.shape[0]
+        if n == 0:
+            return
+        buf = np.empty((n, _VERTEX_DTYPE.itemsize), np.uint8)
+        buf[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+        buf[:, 12:15] = rgb
+        buf.tofile(self._f)
+        self._n += n
+
+    def close(self) -> int:
+        self._f.seek(self._count_offset)
+        self._f.write(f"{self._n:012d}".encode("ascii"))
+        self._f.close()
+        return self._n
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_ply(path: str) -> tuple[np.ndarray, np.ndarray | None]:
     """Read a PLY point cloud; returns (xyz [N,3] f32, rgb [N,3] u8 or None).
 

@@ -31,8 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from itermvs_tpu.ops.grid_sample import (
-    gather_bilinear, pack_corners, pack_corners_fast)
+from itermvs_tpu.ops.grid_sample import gather_bilinear, pack_corners_fast
 
 
 def _projection_pixels(proj: jnp.ndarray, depth_samples: jnp.ndarray,

@@ -67,9 +67,17 @@ def _check(ref_depth, k_ref, e_ref, src_depth, k_src, e_src, pix_th, dep_th):
     return mask, depth_rep
 
 
-def fuse_scan(root, img_wh):
+def fuse_scan(root, img_wh, plyfilename):
+    """Full reference fusion flow incl. mask PNGs, vertex back-projection
+    and PLY output (eval.py:223-309) — apples-to-apples with
+    itermvs_tpu.fusion.filter_depth's timing."""
+    from PIL import Image
+
+    from itermvs_tpu.io.ply import PlyWriter
+
     pair_data = read_pair_file(os.path.join(root, "pair.txt"))
-    n_pts = 0
+    os.makedirs(os.path.join(root, "refmask"), exist_ok=True)
+    ply = PlyWriter(plyfilename)
     for ref_view, src_views in pair_data:
         k_ref, e_ref = read_camera_parameters(
             os.path.join(root, f"cams_1/{ref_view:0>8}_cam.txt"))
@@ -77,6 +85,10 @@ def fuse_scan(root, img_wh):
             os.path.join(root, f"depth_est/{ref_view:0>8}.pfm"))[0][..., 0]
         conf = read_pfm(
             os.path.join(root, f"confidence/{ref_view:0>8}.pfm"))[0][..., 0]
+        img = cv2.cvtColor(cv2.imread(
+            os.path.join(root, f"images/{ref_view:0>8}.jpg")), cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img.astype(np.float32) / 255.0, img_wh,
+                         interpolation=cv2.INTER_LINEAR)
         photo_mask = conf > 0.3
         geo_sum = 0
         reproj = []
@@ -90,10 +102,22 @@ def fuse_scan(root, img_wh):
             geo_sum = geo_sum + mask.astype(np.int32)
             reproj.append(depth_rep)
         avg = (sum(reproj) + ref_depth) / (geo_sum + 1)
-        final = photo_mask & (geo_sum >= 3)
-        n_pts += int(final.sum())
-        _ = avg
-    return n_pts
+        geo_mask = geo_sum >= 3
+        final = photo_mask & geo_mask
+        for tag, m in (("photo", photo_mask), ("geo", geo_mask),
+                       ("final", final)):
+            Image.fromarray(m.astype(np.uint8) * 255).save(
+                os.path.join(root, f"refmask/{ref_view:0>8}_{tag}.png"))
+        h, w = avg.shape
+        gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+        x, y, depth = gx[final], gy[final], avg[final]
+        xyz_ref = np.linalg.inv(k_ref) @ (
+            np.vstack([x, y, np.ones_like(x)]) * depth)
+        xyz_world = (np.linalg.inv(e_ref) @ np.vstack(
+            [xyz_ref, np.ones_like(x)]))[:3]
+        ply.add(xyz_world.T.astype(np.float32),
+                (img[final] * 255).astype(np.uint8))
+    return ply.close()
 
 
 def main():
@@ -102,7 +126,7 @@ def main():
     try:
         build_scene_dir(root, num_views=views, width=width, height=height)
         start = time.time()
-        n = fuse_scan(root, (width, height))
+        n = fuse_scan(root, (width, height), os.path.join(root, "ref.ply"))
         elapsed = time.time() - start
         print(f"reference-style fusion: {elapsed:.2f} s/scene "
               f"({views} ref views x {views - 1} srcs, {n} pts)")
