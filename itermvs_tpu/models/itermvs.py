@@ -133,7 +133,6 @@ class CorrNet(nn.Module):
 class Evaluation(nn.Module):
     """Plane-sweep matching: warp + group corr + view-weighted aggregation."""
     dtype: Any = jnp.float32
-
     def setup(self):
         self.pixel_view_weight = PixelViewWeight(dtype=self.dtype,
                                                  name="pixel_view_weight")
@@ -216,7 +215,7 @@ class Evaluation(nn.Module):
         num_views = view_weights.shape[1]
         w_hw = view_weights[..., 0]                           # [B,V,H4,W4]
         weight_sum = 1e-5 + jnp.sum(w_hw, axis=1)[:, None, :, :, None]
-        correlations = []
+        aggs = {}
         for level in (1, 2, 3):
             key = f"level{level}"
             ref = ref_features[key]
@@ -231,9 +230,10 @@ class Evaluation(nn.Module):
                                           GROUPS)              # [B,Nl,H,W,G]
                 wv = w_hw[:, v][:, None, :, :, None]           # [B,1,H,W,1]
                 agg = corr_v * wv if agg is None else agg + corr_v * wv
-            agg = agg / weight_sum
-            score = self._corr_net(level)(agg)                # [B,Nl,H,W]
-            correlations.append(score)
+            aggs[level] = agg / weight_sum
+
+        correlations = [self.corr_net1(aggs[1]), self.corr_net2(aggs[2]),
+                        self.corr_net3(aggs[3])]
         out = jnp.concatenate(correlations, axis=1)           # [B,10,H4,W4]
         return out.transpose(0, 2, 3, 1)                      # [B,H4,W4,10]
 
