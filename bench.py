@@ -138,7 +138,9 @@ def main():
 
         variables = import_torch_checkpoint(CKPT)
     else:
-        imgs, projs, dmin, dmax = _example_inputs(1, 5, 864, 1152)
+        # Fully-convolutional model: parameters are resolution-independent,
+        # so init at a tiny shape (skips a full-size init compile).
+        imgs, projs, dmin, dmax = _example_inputs(1, 5, 96, 128)
         variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
 
     @jax.jit

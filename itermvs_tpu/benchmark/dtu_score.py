@@ -15,10 +15,24 @@ Replaces the reference's evaluations/dtu/*.m pipeline
 NN queries use scipy cKDTree in chunks (the MATLAB code chunks KD-trees
 the same way, MaxDistCP.m:1-50).
 
-CLI:
+CLI (single scan):
     python -m itermvs_tpu.benchmark.dtu_score \
         --data outputs/itermvs001_l3.ply --gt Points/stl/stl001_total.ply \
         [--obs_mask ObsMask1_10.mat] [--plane Plane1.mat]
+
+CLI (multi-scan aggregation, the ComputeStat_web.m equivalent):
+    python -m itermvs_tpu.benchmark.dtu_score --scan_list scans.txt
+where each non-empty line of scans.txt is
+    <data.ply> <gt.ply> [<ObsMask.mat> [<Plane.mat>]]
+or, with the DTU SampleSet layout,
+    python -m itermvs_tpu.benchmark.dtu_score \
+        --data_dir outputs --gt_dir SampleSet/MVS_Data \
+        --scans 1 4 9 10 ... [--method itermvs]
+Aggregation protocol (ComputeStat_web.m:44-83): per scan, the mean and
+median of the outlier-filtered distances (exactly what `score` returns);
+the headline numbers are the plain means over scans of per-scan mean
+accuracy / completeness, overall = their average (the published DTU
+table convention, reference README.md:89-93).
 """
 from __future__ import annotations
 
@@ -124,15 +138,93 @@ def score(data_ply: str, gt_ply: str, obs_mask_path: str | None = None,
     }
 
 
+def aggregate(per_scan: list[dict]) -> dict:
+    """Multi-scan statistics over `score()` results (ComputeStat_web.m).
+
+    The published DTU table numbers are mean-over-scans of the per-scan
+    mean accuracy / completeness (ComputeStat_web.m:79-83); medians of
+    the per-scan means are reported alongside, as the leaderboards do.
+    """
+    acc = np.asarray([r["accuracy_mm"] for r in per_scan], np.float64)
+    comp = np.asarray([r["completeness_mm"] for r in per_scan], np.float64)
+    return {
+        "n_scans": len(per_scan),
+        "mean_accuracy_mm": float(np.mean(acc)),
+        "mean_completeness_mm": float(np.mean(comp)),
+        "overall_mm": float((np.mean(acc) + np.mean(comp)) / 2.0),
+        "median_accuracy_mm": float(np.median(acc)),
+        "median_completeness_mm": float(np.median(comp)),
+        "per_scan": per_scan,
+    }
+
+
+def _scan_jobs(args) -> list[tuple]:
+    """(data, gt, obs_mask, plane, label) jobs from --scan_list or
+    the DTU SampleSet directory convention."""
+    jobs = []
+    if args.scan_list:
+        with open(args.scan_list) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                data, gt = parts[0], parts[1]
+                obs = parts[2] if len(parts) > 2 else None
+                plane = parts[3] if len(parts) > 3 else None
+                jobs.append((data, gt, obs, plane, data))
+        return jobs
+    import os
+    for scan in args.scans:
+        data = os.path.join(args.data_dir,
+                            f"{args.method}{scan:03d}_l3.ply")
+        gt = os.path.join(args.gt_dir, "Points", "stl",
+                          f"stl{scan:03d}_total.ply")
+        obs = os.path.join(args.gt_dir, "ObsMask", f"ObsMask{scan}_10.mat")
+        plane = os.path.join(args.gt_dir, "ObsMask", f"Plane{scan}.mat")
+        jobs.append((data, gt,
+                     obs if os.path.exists(obs) else None,
+                     plane if os.path.exists(plane) else None,
+                     f"scan{scan}"))
+    return jobs
+
+
 def main():
     parser = argparse.ArgumentParser(description="DTU acc/comp scorer")
-    parser.add_argument("--data", required=True, help="fused point cloud .ply")
-    parser.add_argument("--gt", required=True, help="GT STL point cloud .ply")
+    parser.add_argument("--data", help="fused point cloud .ply (single scan)")
+    parser.add_argument("--gt", help="GT STL point cloud .ply (single scan)")
     parser.add_argument("--obs_mask", default=None, help="ObsMask{scan}_10.mat")
     parser.add_argument("--plane", default=None, help="Plane{scan}.mat")
+    parser.add_argument("--scan_list", default=None,
+                        help="file of '<data.ply> <gt.ply> [obs.mat [plane.mat]]' "
+                             "lines; aggregates over all of them")
+    parser.add_argument("--data_dir", default=None,
+                        help="directory of fused <method>{scan:03d}_l3.ply clouds")
+    parser.add_argument("--gt_dir", default=None,
+                        help="DTU SampleSet root (Points/stl, ObsMask)")
+    parser.add_argument("--scans", type=int, nargs="+", default=None,
+                        help="scan ids to aggregate with --data_dir/--gt_dir")
+    parser.add_argument("--method", default="itermvs",
+                        help="fused-cloud filename prefix (eval.py naming)")
     parser.add_argument("--density", type=float, default=DENSITY)
     parser.add_argument("--max_dist", type=float, default=MAX_DIST)
     args = parser.parse_args()
+
+    multi = bool(args.scan_list) or bool(args.scans)
+    if multi:
+        if args.scans and not (args.data_dir and args.gt_dir):
+            parser.error("--scans requires --data_dir and --gt_dir")
+        results = []
+        for data, gt, obs, plane, label in _scan_jobs(args):
+            r = score(data, gt, obs, plane, args.density, args.max_dist)
+            r["scan"] = label
+            print(f"{label}: acc {r['accuracy_mm']:.4f} "
+                  f"comp {r['completeness_mm']:.4f} "
+                  f"overall {r['overall_mm']:.4f}")
+            results.append(r)
+        print(json.dumps(aggregate(results)))
+        return
+    if not (args.data and args.gt):
+        parser.error("--data/--gt (single scan) or --scan_list/--scans required")
     print(json.dumps(score(args.data, args.gt, args.obs_mask, args.plane,
                            args.density, args.max_dist)))
 

@@ -72,8 +72,10 @@ def restore_checkpoint(path: str, state):
     }
     try:
         restored = ckptr.restore(os.path.abspath(path), template)
-    except BaseException:
-        # Pre-step-format checkpoint (no "step" entry).
+    except (ValueError, KeyError, TypeError):
+        # Template/tree mismatch: a pre-step-format checkpoint (no
+        # "step" entry). Genuine failures (missing/corrupt checkpoint)
+        # raise FileNotFoundError/OSError etc. and propagate.
         del template["step"]
         restored = ckptr.restore(os.path.abspath(path), template)
         restored["step"] = _EPOCH_END

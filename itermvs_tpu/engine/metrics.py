@@ -11,26 +11,37 @@ import jax.numpy as jnp
 
 
 def _per_image_masked_mean(values, mask):
-    """[B, ...] masked mean per image → [B]."""
+    """[B, ...] masked mean per image → ([B] means, [B] has-valid flags)."""
     b = values.shape[0]
     v = values.reshape(b, -1)
     m = mask.reshape(b, -1)
     count = jnp.sum(m, axis=1)
-    return jnp.where(count > 0, jnp.sum(v * m, axis=1) / jnp.maximum(count, 1.0), 0.0)
+    means = jnp.where(count > 0, jnp.sum(v * m, axis=1) / jnp.maximum(count, 1.0), 0.0)
+    return means, (count > 0).astype(values.dtype)
+
+
+def _batch_mean(per_image, has_valid):
+    """Average per-image metrics over images that have any valid pixels.
+
+    Images whose mask is entirely empty are excluded from the batch
+    average — this is what makes mask-zeroed padding samples (the
+    partial-final-val-batch path, train.py:pad_batch) metric-exact."""
+    n = jnp.sum(has_valid)
+    return jnp.where(n > 0, jnp.sum(per_image * has_valid) / jnp.maximum(n, 1.0), 0.0)
 
 
 def abs_depth_error(depth_est, depth_gt, mask):
     """Mean |est − gt| over mask, averaged per image then over batch."""
     mask = (mask > 0.5).astype(depth_est.dtype)
     err = jnp.abs(depth_est - depth_gt)
-    return jnp.mean(_per_image_masked_mean(err, mask))
+    return _batch_mean(*_per_image_masked_mean(err, mask))
 
 
 def threshold_metric(depth_est, depth_gt, mask, thres):
     """Fraction of masked pixels with |err| > thres (outlier rate)."""
     mask = (mask > 0.5).astype(depth_est.dtype)
     outlier = (jnp.abs(depth_est - depth_gt) > thres).astype(depth_est.dtype)
-    return jnp.mean(_per_image_masked_mean(outlier, mask))
+    return _batch_mean(*_per_image_masked_mean(outlier, mask))
 
 
 def depth_metrics(depths_combine, depth_upsampled, depth_gt, mask, num_iters):

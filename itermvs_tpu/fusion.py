@@ -28,7 +28,9 @@ from __future__ import annotations
 import collections
 import functools
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax
@@ -231,8 +233,19 @@ def _save_display(out_folder, ref_view, ref_img, ref_depth, photo_mask,
 
 def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
                  geo_depth_thres=0.01, photo_thres=0.3, img_wh=(1600, 1152),
-                 geo_mask_thres=3, verbose=True, display=False):
+                 geo_mask_thres=3, verbose=True, display=False,
+                 finalize_workers=4):
     """Fuse one scan's depth maps into a colored PLY (reference eval.py:212-309).
+
+    The device kernel runs one ref view at a time (dispatch is async);
+    each view's host tail — result fetch, mask PNGs, color decode,
+    back-projection, PLY append — runs on a `finalize_workers`-thread
+    pool so views' host work overlaps both the kernel and each other
+    (NumPy/PIL/cv2 release the GIL for the heavy parts). PLY appends
+    are serialized by a lock; vertex order in the cloud is therefore
+    nondeterministic across runs, which no consumer depends on.
+
+    Set ITERMVS_FUSION_TIMING=1 to print a per-phase wall-time summary.
 
     Returns (n_points, elapsed_seconds)."""
     start = time.time()
@@ -243,9 +256,23 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
 
     os.makedirs(os.path.join(out_folder, "mask"), exist_ok=True)
     ply = PlyWriter(plyfilename)
+    ply_lock = threading.Lock()
+    phases = collections.defaultdict(float)
+    phases_lock = threading.Lock()
+
+    def timed(phase, fn, *args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        dt = time.perf_counter() - t0
+        with phases_lock:
+            phases[phase] += dt
+        return out
 
     def dispatch(ref_view, src_views):
-        """Host prep + async kernel launch for one reference view."""
+        """Host prep + async kernel launch for one reference view.
+
+        Runs on the main thread only: the LRU view cache is not
+        thread-safe, and the device queue keeps kernels ordered."""
         ref = cache.view(ref_view)
         conf = cache.confidence(ref_view)
 
@@ -290,17 +317,23 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
         return ref_view, ref, out
 
     def finalize(ref_view, ref, out):
-        """Fetch one view's results, write masks, collect vertices."""
-        depth_averaged = np.asarray(out[0])
-        bits = np.asarray(out[1])
+        """Fetch one view's results, write masks, collect vertices.
+
+        Runs on the finalize pool — touches only thread-safe state
+        (direct file reads, the locked PLY writer, the phase timers)."""
+        depth_averaged = timed("fetch", lambda: np.asarray(out[0]))
+        bits = timed("fetch", lambda: np.asarray(out[1]))
         photo_mask = (bits & 1) > 0
         geo_mask = (bits & 2) > 0
         final_mask = (bits & 4) > 0
-        ref_img = cache.image(ref_view)
+        ref_img = timed("image_decode", cache.image, ref_view)
 
-        _save_mask(os.path.join(out_folder, f"mask/{ref_view:0>8}_photo.png"), photo_mask)
-        _save_mask(os.path.join(out_folder, f"mask/{ref_view:0>8}_geo.png"), geo_mask)
-        _save_mask(os.path.join(out_folder, f"mask/{ref_view:0>8}_final.png"), final_mask)
+        timed("mask_png", _save_mask,
+              os.path.join(out_folder, f"mask/{ref_view:0>8}_photo.png"), photo_mask)
+        timed("mask_png", _save_mask,
+              os.path.join(out_folder, f"mask/{ref_view:0>8}_geo.png"), geo_mask)
+        timed("mask_png", _save_mask,
+              os.path.join(out_folder, f"mask/{ref_view:0>8}_final.png"), final_mask)
 
         if verbose:
             print(
@@ -311,40 +344,61 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
             _save_display(out_folder, ref_view, ref_img, ref["depth"],
                           photo_mask, geo_mask, final_mask)
 
-        height, width = depth_averaged.shape
-        gx, gy = np.meshgrid(np.arange(width, dtype=np.float64),
-                             np.arange(height, dtype=np.float64))
-        valid = final_mask
-        # Row-major [P, 3] back-projection with K⁻¹/E⁻¹ folded into one
-        # 3×4 affine (≈7× faster than column-stacked f64 vstack chains
-        # at 1600×1152 — this loop runs once per reference view).
-        pix = np.empty((int(valid.sum()), 3), np.float64)
-        depth = depth_averaged[valid].astype(np.float64)
-        pix[:, 0] = gx[valid] * depth
-        pix[:, 1] = gy[valid] * depth
-        pix[:, 2] = depth
-        k_inv = np.linalg.inv(ref["K"].astype(np.float64))
-        e_inv = np.linalg.inv(ref["E"].astype(np.float64))
-        m = e_inv[:3, :3] @ k_inv                           # pixel→world
-        xyz_world = pix @ m.T + e_inv[:3, 3]
-        # Stream this view's points to disk now — the write overlaps the
-        # next view's kernel, and the cloud never accumulates in RAM.
-        ply.add(xyz_world.astype(np.float32),
-                (ref_img[valid] * 255).astype(np.uint8))
+        def backproject():
+            height, width = depth_averaged.shape
+            gx, gy = np.meshgrid(np.arange(width, dtype=np.float64),
+                                 np.arange(height, dtype=np.float64))
+            valid = final_mask
+            # Row-major [P, 3] back-projection with K⁻¹/E⁻¹ folded into
+            # one 3×4 affine (≈7× faster than column-stacked f64 vstack
+            # chains at 1600×1152); f64 throughout — at DTU scales the
+            # f32 rounding of pixel·depth products is ~0.1 mm, a third
+            # of the benchmark's score.
+            pix = np.empty((int(valid.sum()), 3), np.float64)
+            depth = depth_averaged[valid].astype(np.float64)
+            pix[:, 0] = gx[valid] * depth
+            pix[:, 1] = gy[valid] * depth
+            pix[:, 2] = depth
+            k_inv = np.linalg.inv(ref["K"].astype(np.float64))
+            e_inv = np.linalg.inv(ref["E"].astype(np.float64))
+            m = e_inv[:3, :3] @ k_inv                       # pixel→world
+            xyz_world = pix @ m.T + e_inv[:3, 3]
+            return (xyz_world.astype(np.float32),
+                    (ref_img[valid] * 255).astype(np.uint8))
 
-    # Software pipeline: view i's (slow) host fetch + PNG/vertex work
-    # overlaps view i+1's device kernel (dispatch is async).
-    pending = None
-    for ref_view, src_views in pair_data:
-        launched = dispatch(ref_view, src_views)
-        if pending is not None:
-            finalize(*pending)
-        pending = launched
-    if pending is not None:
-        finalize(*pending)
+        xyz_f32, colors = timed("backproject", backproject)
+        # Stream this view's points to disk now — writes from concurrent
+        # finalizers serialize on the lock; cloud order is irrelevant.
+        with ply_lock:
+            timed("ply_write", ply.add, xyz_f32, colors)
+
+    # Software pipeline: the main thread streams host prep + kernel
+    # dispatches (device queue stays full); each view's host tail runs on
+    # the finalize pool, overlapping the kernel AND other views' tails.
+    # Outstanding finalizes are bounded to cap fetched-result memory.
+    max_outstanding = max(2 * finalize_workers, 2)
+    try:
+        with ThreadPoolExecutor(max_workers=finalize_workers) as pool:
+            futures = collections.deque()
+            for ref_view, src_views in pair_data:
+                launched = timed("dispatch", dispatch, ref_view, src_views)
+                futures.append(pool.submit(finalize, *launched))
+                while len(futures) >= max_outstanding:
+                    futures.popleft().result()
+            while futures:
+                futures.popleft().result()
+    except BaseException:
+        ply.close()   # patch the header so the partial PLY stays readable
+        raise
 
     n_points = ply.close()
     elapsed = time.time() - start
+    if os.environ.get("ITERMVS_FUSION_TIMING"):
+        total = sum(phases.values())
+        detail = " ".join(f"{k}={v:.2f}s" for k, v in
+                          sorted(phases.items(), key=lambda kv: -kv[1]))
+        print(f"fusion timing (thread-seconds, wall {elapsed:.2f}s, "
+              f"sum {total:.2f}s): {detail}")
     print(f"saving the final model to {plyfilename} "
           f"({n_points} points, {elapsed:.2f}s)")
     return n_points, elapsed

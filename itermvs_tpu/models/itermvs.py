@@ -34,7 +34,9 @@ import flax.linen as nn
 from itermvs_tpu.models.blocks import Conv, ConvGRU, ConvReLU, ConvTranspose
 from itermvs_tpu.ops.depth_range import depth_unnormalization
 from itermvs_tpu.ops.resize import resize_bilinear, upsample_bilinear
-from itermvs_tpu.ops.warping import pack_bilinear, warp_corr_packed
+from itermvs_tpu.ops.warping import (
+    interleave_perm, pack_bilinear, warp_corr_packed,
+)
 
 NUM_BINS = 256          # output probability bins over normalized inverse depth
 RADIUS = 4              # windowed-expectation half width
@@ -131,8 +133,15 @@ class CorrNet(nn.Module):
 
 
 class Evaluation(nn.Module):
-    """Plane-sweep matching: warp + group corr + view-weighted aggregation."""
+    """Plane-sweep matching: warp + group corr + view-weighted aggregation.
+
+    `interleave=True` expects features permuted by
+    ops/warping.py:interleave_perm (group channels at stride G) and runs
+    the group sum as contiguous lane slices instead of a reshape+reduce.
+    """
     dtype: Any = jnp.float32
+    interleave: bool = False
+
     def setup(self):
         self.pixel_view_weight = PixelViewWeight(dtype=self.dtype,
                                                  name="pixel_view_weight")
@@ -168,7 +177,7 @@ class Evaluation(nn.Module):
         # aggregation run batched over the view axis.
         corr = jnp.stack([
             warp_corr_packed(src_features[v], ref_feature, rel_projs[:, v],
-                             depth_samples, GROUPS)
+                             depth_samples, GROUPS, interleaved=self.interleave)
             for v in range(num_views)
         ], axis=1)                                           # [B,V,N,H,W,G]
         b, _, n, h, w, g = corr.shape
@@ -227,7 +236,8 @@ class Evaluation(nn.Module):
             for v in range(num_views):
                 corr_v = warp_corr_packed(src_features[key][v], ref,
                                           rel_projs[key][:, v], samples,
-                                          GROUPS)              # [B,Nl,H,W,G]
+                                          GROUPS,
+                                          interleaved=self.interleave)
                 wv = w_hw[:, v][:, None, :, :, None]           # [B,1,H,W,1]
                 agg = corr_v * wv if agg is None else agg + corr_v * wv
             aggs[level] = agg / weight_sum
@@ -308,9 +318,17 @@ class IterMVS(nn.Module):
     hidden_dim: int = 32
     test: bool = False
     dtype: Any = jnp.float32
+    # Feature-channel interleaving for the warp/correlation path
+    # (ops/warping.py:interleave_perm). Measured SLOWER end-to-end on
+    # v5e (83 → 99 ms at 1152×864 bf16) despite removing the gathered
+    # blocks' column-major relayout — kept available for re-evaluation,
+    # off by default. See docs/PERFORMANCE.md.
+    interleave: bool = False
 
     def setup(self):
-        self.evaluation = Evaluation(dtype=self.dtype, name="evaluation")
+        self.evaluation = Evaluation(dtype=self.dtype,
+                                     interleave=self.interleave,
+                                     name="evaluation")
         self.update = Update(self.hidden_dim, dtype=self.dtype, name="update")
         self.upsample_conv0 = Conv(64, 3, use_bias=False, dtype=self.dtype,
                                    name="upsample_conv0")
@@ -343,28 +361,43 @@ class IterMVS(nn.Module):
 
         upsample_weights = self._upsample_weights(ref_features["level2"])
 
+        # Optional: correlation-group channels interleaved to stride G
+        # for the whole warp path (ops/warping.py:interleave_perm): the
+        # group sum then runs as contiguous lane slices with no relayout
+        # of any gathered block. The upsample head above consumed level2
+        # in natural order; every consumer below is order-agnostic given
+        # src and ref agree.
+        if self.interleave:
+            perms = {key: interleave_perm(ref_features[key].shape[-1], GROUPS)
+                     for key in ("level1", "level2", "level3")}
+            maybe_perm = lambda x, key: x[..., perms[key]]
+        else:
+            maybe_perm = lambda x, key: x
+
         # Corner-pack source features once per (view, level): the init
         # sweep and every GRU iteration re-warp the same sources.
         # Per-view python lists (not stacked arrays) so packing fuses
         # with the view slice instead of copying [B, V-1, ...] blocks.
         num_src = src_features["level1"].shape[1]
         packed_src = {
-            key: [pack_bilinear(src_features[key][:, v])
+            key: [pack_bilinear(maybe_perm(src_features[key][:, v], key))
                   for v in range(num_src)]
             for key in ("level1", "level2", "level3")
         }
         # Reference features on the 1/4 iteration grid, hoisted out of
         # the loop (iteration-invariant).
         ref_iter = {
-            "level1": resize_bilinear(ref_features["level1"], (h4, w4)),
-            "level2": ref_features["level2"],
-            "level3": resize_bilinear(ref_features["level3"], (h4, w4)),
+            "level1": maybe_perm(
+                resize_bilinear(ref_features["level1"], (h4, w4)), "level1"),
+            "level2": maybe_perm(ref_features["level2"], "level2"),
+            "level3": maybe_perm(
+                resize_bilinear(ref_features["level3"], (h4, w4)), "level3"),
         }
 
         depth_samples = initial_depth_samples(idmin, idmax, h4 // 2, w4 // 2)
         view_weights, score_volume, init_depth = self.evaluation.init_sweep(
-            ref_features["level3"], packed_src["level3"], rel_projs["level3"],
-            depth_samples, idmin, idmax)
+            maybe_perm(ref_features["level3"], "level3"), packed_src["level3"],
+            rel_projs["level3"], depth_samples, idmin, idmax)
 
         hidden = self.update.hidden_init(score_volume)
         normalized_depth, probability = self.update.depth_init(hidden)

@@ -39,12 +39,16 @@ class Pipeline(nn.Module):
     test: bool = False
     dtype: Any = jnp.float32
     s2d_stem: bool = False
+    # Group-interleaved feature channels on the warp path — measured
+    # slower on v5e (see IterMVS.interleave); kept for re-evaluation.
+    interleave: bool = False
 
     def setup(self):
         self.feature_net = FeatureNet(dtype=self.dtype, s2d_stem=self.s2d_stem,
                                       name="feature_net")
         self.iter_mvs = IterMVS(iteration=self.iteration, test=self.test,
-                                dtype=self.dtype, name="iter_mvs")
+                                dtype=self.dtype, interleave=self.interleave,
+                                name="iter_mvs")
 
     def __call__(self, imgs, proj_matrices, depth_min, depth_max,
                  train: bool = False):

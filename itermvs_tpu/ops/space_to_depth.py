@@ -28,7 +28,6 @@ convs they feed.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 
@@ -63,7 +62,6 @@ def stride1_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
     Use with padding ((1,1),(1,1)) on the s2d grid."""
     kh, kw, ci, co = w.shape
     assert (kh, kw) == (3, 3)
-    out = np.zeros((3, 3, 4 * ci, 4 * co), np.float32)
     pieces = []
     for py in (0, 1):
         for px in (0, 1):
@@ -74,7 +72,6 @@ def stride1_kernel_s2d(w: jnp.ndarray) -> jnp.ndarray:
                     pieces.append(((ty, tx, ry, rx, py, px), (ky, kx)))
     # Build as a scatter of w slices into a zero tensor (traced, tiny).
     outj = jnp.zeros((3, 3, 4 * ci, 4 * co), dtype=w.dtype)
-    del out
     for (ty, tx, ry, rx, py, px), (ky, kx) in pieces:
         ci_s = (ry * 2 + rx) * ci
         co_s = (py * 2 + px) * co

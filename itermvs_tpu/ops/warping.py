@@ -123,9 +123,32 @@ def differentiable_warp(src_fea: jnp.ndarray, proj: jnp.ndarray,
                                       depth_samples)
 
 
+def interleave_perm(channels: int, groups: int):
+    """Permutation putting correlation-group channels at stride G.
+
+    Natural (reference) feature order is group-major: channel c belongs
+    to group c // (C/G). Applying this permutation to BOTH the source
+    and reference features reorders them group-minor — new channel
+    k = j*G + g holds old channel g*(C/G) + j — so the per-group sum in
+    `warp_corr_packed` becomes C/G *contiguous* G-wide lane slices of
+    the product instead of a cross-minor reduce (which makes XLA
+    relayout every gathered block to column-major first; measured
+    ~6.5 ms/step of [P, 4C] transposes at 1152×864). Group identity and
+    the summed channel sets are unchanged, so the correlation output is
+    numerically the same (up to f32 reassociation of the C/G-term sum).
+    """
+    import numpy as np
+    cg = channels // groups
+    idx = np.empty(channels, np.int32)
+    for g in range(groups):
+        for j in range(cg):
+            idx[j * groups + g] = g * cg + j
+    return jnp.asarray(idx)
+
+
 def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
                      proj: jnp.ndarray, depth_samples: jnp.ndarray,
-                     groups: int) -> jnp.ndarray:
+                     groups: int, interleaved: bool = False) -> jnp.ndarray:
     """Fused warp + group-wise correlation on corner-packed features.
 
     Args:
@@ -134,6 +157,9 @@ def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
       proj: [B, 4, 4] relative projection.
       depth_samples: [B, N, H, W].
       groups: number of correlation groups G (C must divide).
+      interleaved: features were permuted by `interleave_perm` — group
+        channels sit at stride G, so the group sum runs as contiguous
+        lane slices (no relayout of the gathered block).
 
     Returns correlation [B, N, H, W, G]: per group, the mean over the
     C/G in-group channels of (warped ⊙ ref).
@@ -142,6 +168,15 @@ def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
     c = packed_src.src_shape[-1] // packed_src.corners
     cg = c // groups
     warped = differentiable_warp_packed(packed_src, proj, depth_samples)
+    if interleaved:
+        # Group sum as cg contiguous G-wide lane slices of the product,
+        # accumulated in f32 — pure elementwise ops that fuse with the
+        # gather epilogue, like the 4-corner sum in gather_bilinear.
+        prod = warped * ref_fea[:, None].astype(warped.dtype)
+        acc = prod[..., :groups].astype(jnp.float32)
+        for j in range(1, cg):
+            acc = acc + prod[..., j * groups:(j + 1) * groups].astype(jnp.float32)
+        return acc / cg
     # Multiply in the feature dtype, accumulate the group mean in f32
     # (the reduce fusion reads bf16 and emits f32 in bf16 mode). Note:
     # expressing this sum as cg strided lane-slices + adds (like the

@@ -64,19 +64,34 @@ _MULTIHOST_ENV_VARS = (
 )
 
 
-def initialize_distributed() -> bool:
+def initialize_distributed(mode: str = "auto") -> bool:
     """Multi-host DCN init; returns True if a multi-process job was joined.
 
-    No-op only when no launcher/coordinator environment is detected
-    (plain single-process run). Any failure in an actual multi-process
-    environment propagates loudly instead of silently degrading into N
-    independent single-host trainings.
+    mode:
+      "auto" — initialize iff a launcher/coordinator environment is
+        detected via _MULTIHOST_ENV_VARS (plain single-process runs
+        skip). The allowlist is a heuristic: a launcher using none of
+        those variables must pass --distributed on.
+      "on"   — always call jax.distributed.initialize(); with no
+        coordinator configured this fails loudly rather than silently
+        training N independent copies.
+      "off"  — never initialize (explicit single-process override).
+
+    Any failure in an actual multi-process environment propagates loudly
+    instead of silently degrading into N independent single-host runs.
     """
-    present = [v for v in _MULTIHOST_ENV_VARS if os.environ.get(v)]
-    if not present:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"--distributed must be auto/on/off, got {mode!r}")
+    if mode == "off":
         return False
-    print(f"multi-host launch detected ({', '.join(present)}); "
-          "initializing jax.distributed")
+    if mode == "auto":
+        present = [v for v in _MULTIHOST_ENV_VARS if os.environ.get(v)]
+        if not present:
+            return False
+        print(f"multi-host launch detected ({', '.join(present)}); "
+              "initializing jax.distributed")
+    else:
+        print("--distributed on: initializing jax.distributed")
     jax.distributed.initialize()
     print(f"jax.distributed up: process {jax.process_index()}/"
           f"{jax.process_count()}, {jax.local_device_count()} local / "

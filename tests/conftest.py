@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Pin the env var too: CLI modules (train.py / eval.py) call
+# respect_jax_platforms_env() at import, which re-asserts JAX_PLATFORMS
+# and clears backends — with the launcher's `axon` value still set, a
+# test importing them would silently swap the 8-device CPU mesh for the
+# real TPU mid-suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -76,8 +76,24 @@ def make_cameras(num_views, width, height, rng):
     return cams
 
 
-def render_view(K, E, width, height):
-    """Returns (rgb [H,W,3] in [0,1], depth [H,W]) for the plane z=Z0."""
+# Composite-scene geometry ("sphere_step"): a textured sphere floating in
+# front of a stepped background plane. Occlusion between views and two
+# kinds of depth discontinuity (curved silhouette + axis-aligned step)
+# exercise exactly the cases a single fronto-parallel plane cannot.
+SPHERE_CENTER = np.array([0.35, -0.25, Z0 - 1.4], np.float64)
+SPHERE_RADIUS = 0.9
+STEP_X = -0.4          # world x of the background step edge
+STEP_DZ = 0.8          # far half-plane sits at Z0 + STEP_DZ for x < STEP_X
+
+
+def render_view(K, E, width, height, scene: str = "plane"):
+    """Returns (rgb [H,W,3] in [0,1], depth [H,W]) for the given scene.
+
+    scene="plane": the plane z=Z0 (original fixture).
+    scene="sphere_step": nearest-hit composition of a sphere and a
+    stepped background plane; every surface carries the same world-
+    anchored texture, so multi-view photometric matching stays exact.
+    """
     xs, ys = np.meshgrid(np.arange(width, dtype=np.float64),
                          np.arange(height, dtype=np.float64))
     pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1)          # [H,W,3]
@@ -86,16 +102,42 @@ def render_view(K, E, width, height):
     t = E[:3, 3].astype(np.float64)
     cam_center = -R.T @ t
     dirs_world = dirs @ R                                        # R^T applied rowwise
-    # Solve (cam_center + s·dir).z = Z0.
-    s = (Z0 - cam_center[2]) / dirs_world[..., 2]
-    pw = cam_center + s[..., None] * dirs_world
-    depth = (s * dirs[..., 2]).astype(np.float32)                # camera-frame z
-    rgb = _texture(pw[..., 0], pw[..., 1]).astype(np.float32)
+
+    def plane_hit(z_plane, half=None):
+        s = (z_plane - cam_center[2]) / dirs_world[..., 2]
+        pw = cam_center + s[..., None] * dirs_world
+        if half == "near":      # x >= STEP_X half-plane at Z0
+            s = np.where(pw[..., 0] >= STEP_X, s, np.inf)
+        elif half == "far":     # x < STEP_X half-plane at Z0 + STEP_DZ
+            s = np.where(pw[..., 0] < STEP_X, s, np.inf)
+        return s
+
+    if scene == "plane":
+        s_hit = plane_hit(Z0)
+    else:
+        # Sphere: |o + s·d − C|² = r², smallest positive root.
+        oc = cam_center - SPHERE_CENTER
+        b = np.einsum("hwc,c->hw", dirs_world, oc)
+        a = np.einsum("hwc,hwc->hw", dirs_world, dirs_world)
+        disc = b * b - a * (oc @ oc - SPHERE_RADIUS ** 2)
+        s_sph = np.where(disc >= 0, (-b - np.sqrt(np.maximum(disc, 0.0))) / a,
+                         np.inf)
+        s_sph = np.where(s_sph > 0, s_sph, np.inf)
+        s_hit = np.minimum(np.minimum(plane_hit(Z0, "near"),
+                                      plane_hit(Z0 + STEP_DZ, "far")), s_sph)
+
+    pw = cam_center + s_hit[..., None] * dirs_world
+    depth = (s_hit * dirs[..., 2]).astype(np.float32)            # camera-frame z
+    # World-anchored texture: (x, y) for near-planar surfaces; the
+    # sphere adds z so its silhouette-adjacent texture differs from the
+    # plane behind it.
+    rgb = _texture(pw[..., 0] + 0.731 * pw[..., 2],
+                   pw[..., 1] + 0.517 * pw[..., 2]).astype(np.float32)
     return rgb, depth
 
 
 def build_scene_dir(root, num_views=4, width=128, height=96, rng=None,
-                    write_gt_depth=True):
+                    write_gt_depth=True, scene: str = "plane"):
     """Write a custom-format scene; returns (cams, depths dict)."""
     from PIL import Image
 
@@ -106,7 +148,7 @@ def build_scene_dir(root, num_views=4, width=128, height=96, rng=None,
     cams = make_cameras(num_views, width, height, rng)
     depths = {}
     for v, (K, E) in enumerate(cams):
-        rgb, depth = render_view(K, E, width, height)
+        rgb, depth = render_view(K, E, width, height, scene=scene)
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             os.path.join(root, f"images/{v:08d}.jpg"), quality=98)
         write_cam_file(os.path.join(root, f"cams_1/{v:08d}_cam.txt"),
@@ -123,6 +165,24 @@ def build_scene_dir(root, num_views=4, width=128, height=96, rng=None,
              for v in range(num_views)]
     write_pair_file(os.path.join(root, "pair.txt"), pairs)
     return cams, depths
+
+
+def gt_point_cloud(cams, depths, stride: int = 2) -> np.ndarray:
+    """Visible-surface GT cloud: back-project every view's analytic
+    depth map to world space (the union over views is exactly the
+    surface any fused reconstruction can see)."""
+    pts = []
+    for v, (K, E) in enumerate(cams):
+        depth = depths[v][::stride, ::stride].astype(np.float64)
+        h, w = depth.shape
+        xs, ys = np.meshgrid(np.arange(w) * stride, np.arange(h) * stride)
+        pix = np.stack([xs * depth, ys * depth, depth], axis=-1).reshape(-1, 3)
+        k_inv = np.linalg.inv(K.astype(np.float64))
+        e_inv = np.linalg.inv(E.astype(np.float64))
+        cam_pts = pix @ k_inv.T
+        world = cam_pts @ e_inv[:3, :3].T + e_inv[:3, 3]
+        pts.append(world)
+    return np.concatenate(pts).astype(np.float32)
 
 
 def build_dtu_training_dir(root, num_views=5, num_refs=1, scan="scan1",

@@ -134,6 +134,70 @@ def test_data_parallel_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(pd), np.asarray(p1), atol=2e-5)
 
 
+def test_val_partial_batch_padded_on_mesh(setup):
+    """A final val batch that does not divide the mesh is padded with
+    mask-zeroed samples (train.py:pad_batch) and must produce exactly
+    the metrics of the unpadded batch on one device (the pre-fix
+    behavior was a device_put ValueError at the end of every epoch)."""
+    from train import pad_batch
+
+    model, variables, batch = setup
+    assert jax.device_count() >= 8
+
+    # Unpadded reference: the real 2 samples, single device.
+    val1 = make_val_step(model, regress=True, num_iters=2)
+    ref = val1(variables["params"], variables["batch_stats"], batch)
+
+    # 2 real samples padded to 8, sharded over the 8-device mesh.
+    np_batch = jax.tree.map(np.asarray, batch)
+    padded, n_real = pad_batch(np_batch, 8)
+    assert n_real == 2
+    assert padded["depth_min"].shape[0] == 8
+    assert float(np.abs(padded["mask"]["level_0"][2:]).sum()) == 0.0
+
+    mesh = make_mesh()
+    vald = make_val_step(model, regress=True, num_iters=2, mesh=mesh)
+    sharded = shard_batch(padded, mesh)
+    got = vald(variables["params"], variables["batch_stats"], sharded)
+
+    for key in ref:
+        np.testing.assert_allclose(float(got[key]), float(ref[key]),
+                                   rtol=2e-4, atol=1e-6, err_msg=key)
+
+
+def test_distributed_flag_contract(monkeypatch):
+    """--distributed off never initializes; on without a coordinator
+    fails loudly; auto skips when no launcher env is present."""
+    from itermvs_tpu.parallel import mesh as pmesh
+
+    calls = []
+    monkeypatch.setattr(pmesh.jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    for var in pmesh._MULTIHOST_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+
+    assert pmesh.initialize_distributed("off") is False
+    assert pmesh.initialize_distributed("auto") is False
+    assert not calls
+
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    assert pmesh.initialize_distributed("auto") is True
+    assert calls == [1]
+    monkeypatch.delenv("JAX_NUM_PROCESSES")
+
+    assert pmesh.initialize_distributed("on") is True
+    assert calls == [1, 1]
+
+    def boom(*a, **k):
+        raise RuntimeError("no coordinator configured")
+
+    monkeypatch.setattr(pmesh.jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="no coordinator"):
+        pmesh.initialize_distributed("on")
+    with pytest.raises(ValueError):
+        pmesh.initialize_distributed("sometimes")
+
+
 class _IdxDataset:
     """Tiny dataset whose samples are their own indices."""
 

@@ -37,7 +37,10 @@ def main():
     dtype = jnp.dtype(_os.environ.get("ITERMVS_PROF_DTYPE", "bfloat16"))
     print(f"profiling {width}x{height} V={views} dtype={dtype} s2d={s2d}")
     model = Pipeline(iteration=4, test=True, dtype=dtype, s2d_stem=s2d)
-    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
+    # Init at a tiny shape (params are resolution-independent) — skips a
+    # full-size init compile per profiled resolution.
+    init_in = _example_inputs(1, views, 96, 128)
+    variables = model.init(jax.random.PRNGKey(0), *init_in)
 
     @jax.jit
     def forward(imgs, projs, dmin, dmax):

@@ -27,7 +27,8 @@ def main():
         create_train_state, make_optimizer, make_train_step)
     from __graft_entry__ import _example_inputs
 
-    batch, views, height, width = 2, 5, 512, 640
+    batch = int(os.environ.get("ITERMVS_PROF_BATCH", "2"))
+    views, height, width = 5, 512, 640
     imgs, projs, dmin, dmax = _example_inputs(batch, views, height, width)
     rng = np.random.RandomState(0)
     depth, mask = {}, {}
@@ -39,10 +40,11 @@ def main():
             (rng.rand(batch, h, w, 1) > 0.2).astype(np.float32))
 
     dtype = jnp.dtype(os.environ.get("ITERMVS_PROF_DTYPE", "float32"))
-    print(f"train step profile: dtype={dtype}")
+    print(f"train step profile: batch={batch} dtype={dtype}")
     model = Pipeline(iteration=4, test=False, dtype=dtype)
-    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax,
-                           train=False)
+    # Init at a tiny shape — parameters are resolution-independent.
+    init_in = _example_inputs(1, views, 64, 96)
+    variables = model.init(jax.random.PRNGKey(0), *init_in, train=False)
     tx = make_optimizer()
     state = create_train_state(variables, tx)
     step = make_train_step(model, tx, regress=True, num_iters=4, mesh=None)

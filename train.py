@@ -79,6 +79,41 @@ parser.add_argument("--precision", default="float32",
 parser.add_argument("--debug_nans", action="store_true",
                     help="abort with a traceback on the first NaN produced "
                          "on device (jax_debug_nans)")
+parser.add_argument("--distributed", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="multi-host jax.distributed init: auto = detect a "
+                         "launcher/coordinator environment; on = initialize "
+                         "or fail loudly; off = never initialize")
+
+
+def pad_batch(sample, target: int):
+    """Pad a short batch to `target` samples by repeating the last sample
+    with its validity masks zeroed.
+
+    Zero-mask padding is metric-exact, not just shape-safe: full_loss
+    normalizes every term by the total mask count (models/losses.py:
+    _masked_mean) and depth_metrics averages per-image values only over
+    images with any valid pixels (engine/metrics.py:_batch_mean), so
+    padded samples contribute exactly nothing. Mirrors eval.py's
+    partial-batch padding for the sharded inference path."""
+    n = int(np.asarray(sample["depth_min"]).shape[0])
+    if n >= target:
+        return sample, n
+
+    def pad(x, zero=False):
+        x = np.asarray(x)
+        tail = np.repeat(x[-1:], target - n, axis=0)
+        if zero:
+            tail = np.zeros_like(tail)
+        return np.concatenate([x, tail], axis=0)
+
+    out = dict(sample)
+    for key in ("imgs", "proj_matrices", "depth"):
+        out[key] = {k: pad(v) for k, v in sample[key].items()}
+    out["mask"] = {k: pad(v, zero=True) for k, v in sample["mask"].items()}
+    out["depth_min"] = pad(sample["depth_min"])
+    out["depth_max"] = pad(sample["depth_max"])
+    return out, n
 
 
 def to_device_batch(sample, mesh):
@@ -99,7 +134,7 @@ def main():
     args = parser.parse_args()
     # Multi-host DCN init (no-op single-process): must run before any
     # backend use so the global mesh spans all hosts' devices.
-    initialize_distributed()
+    initialize_distributed(args.distributed)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.resume:
@@ -221,6 +256,12 @@ def main():
     def run_validation(epoch_idx, global_step):
         meter = DictAverageMeter()
         for batch_idx, sample in enumerate(val_loader):
+            # The final batch can be short (drop_last=False); pad it to
+            # the full batch size with mask-zeroed samples so the batch
+            # axis still divides the mesh (and the compiled signature is
+            # reused). Zero-mask padding contributes exactly nothing to
+            # loss or metrics (see pad_batch).
+            sample, _ = pad_batch(sample, args.batch_size)
             batch = to_device_batch(sample, mesh)
             scalars = val_step(state.params, state.batch_stats, batch)
             scalars = {k: float(v) for k, v in scalars.items()}
