@@ -68,12 +68,21 @@ FAST_GATHER_MAX_ROWS = 262144
 
 
 class BandedSource(NamedTuple):
-    """A 4-corner-packed table split into row bands that each fit the
-    fast-gather row limit. Every sample is gathered from every band
-    with band-clipped indices and masked to the band that owns its row:
-    n_bands × fast-rate beats 1 × cliff-rate for n_bands ≤ ~4."""
-    bands: tuple          # of [rows_i, corners*C] flat tables
-    row_offsets: tuple    # starting flat row of each band
+    """A 4-corner-packed table split along BATCH-SAMPLE boundaries, and
+    within a sample into row bands that each fit the fast-gather row
+    limit.
+
+    Sample-boundary splitting is the key property for batch > 1: each
+    sample's indices address only its own [H·W, 4C] table, so a batched
+    warp costs exactly batch × (single-sample rows) — the round-1
+    "batching hurts" cliff (one flat B·H·W-row table → every gather
+    pays n_bands × rows in band-masked passes) disappears. Within-sample
+    bands (needed when H·W itself exceeds the limit, e.g. level 1 at
+    1600×1152) keep the round-2 masked-band scheme: n_bands × fast-rate
+    beats 1 × cliff-rate for the ≤4 bands any supported size needs."""
+    bands: tuple          # [rows_i, corners*C] tables, grouped by sample
+    sample_ids: tuple     # owning batch sample of each band
+    row_offsets: tuple    # starting row of each band WITHIN its sample
     shape: tuple          # original (B, H, W, corners*C)
     corners: int
 
@@ -83,24 +92,26 @@ class BandedSource(NamedTuple):
 
 
 def pack_corners_fast(src: jnp.ndarray, corners: int = 4):
-    """`pack_corners`, row-banded when the table exceeds the fast-gather
-    row limit (split once at pack time; reused by every warp)."""
+    """`pack_corners`, sample-split + row-banded when the flat table
+    would exceed the fast-gather row limit (split once at pack time;
+    reused by every warp)."""
     packed = pack_corners(src, corners)
     b, h, w, ck = packed.data.shape
-    rows = b * h * w
-    if corners != 4 or rows <= FAST_GATHER_MAX_ROWS:
+    if corners != 4 or b * h * w <= FAST_GATHER_MAX_ROWS:
         return packed
-    n = -(-rows // FAST_GATHER_MAX_ROWS)
-    per = -(-rows // n)
-    flat = packed.data.reshape(rows, ck)
-    bands = []
-    offsets = []
-    for i in range(n):
-        off = i * per
-        size = min(per, rows - off)
-        bands.append(flat[off:off + size])
-        offsets.append(off)
-    return BandedSource(tuple(bands), tuple(offsets), (b, h, w, ck), 4)
+    per_sample = h * w
+    n = -(-per_sample // FAST_GATHER_MAX_ROWS)   # bands per sample
+    per = -(-per_sample // n)
+    bands, sample_ids, offsets = [], [], []
+    for i in range(b):
+        flat = packed.data[i].reshape(per_sample, ck)
+        for j in range(n):
+            off = j * per
+            bands.append(flat[off:off + min(per, per_sample - off)])
+            sample_ids.append(i)
+            offsets.append(off)
+    return BandedSource(tuple(bands), tuple(sample_ids), tuple(offsets),
+                        (b, h, w, ck), 4)
 
 
 def pack_corners(src: jnp.ndarray, corners: int = 4) -> PackedSource:
@@ -164,20 +175,35 @@ def _flat_take(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
 
 
-def _flat_take_banded(bands, row_offsets, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather over a row-banded table: each band is gathered with
-    band-clipped indices and masked to the rows it owns. Each row lands
-    in exactly one band, so the masked partials sum to the exact gather."""
-    flat = idx.reshape(-1)
-    acc = None
-    for band, off in zip(bands, row_offsets):
-        size = band.shape[0]
-        g = jnp.take(band, jnp.clip(flat - off, 0, size - 1), axis=0,
-                     mode="clip")
-        mask = ((flat >= off) & (flat < off + size)).astype(band.dtype)
-        g = g * mask[:, None]
-        acc = g if acc is None else acc + g
-    return acc
+def _flat_take_banded(packed: "BandedSource", idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather over a sample-split, row-banded table.
+
+    `idx` is [B, P] of WITHIN-SAMPLE row indices. Each sample's indices
+    are gathered only from that sample's own bands (per-sample index
+    slicing — no cross-sample masking passes); when a sample has
+    multiple bands, each band is gathered with band-clipped indices and
+    masked to the rows it owns, and the masked partials sum to the
+    exact gather (each row lands in exactly one band)."""
+    b = packed.shape[0]
+    per_sample = [[] for _ in range(b)]
+    for band, sid, off in zip(packed.bands, packed.sample_ids,
+                              packed.row_offsets):
+        per_sample[sid].append((band, off))
+    outs = []
+    for i in range(b):
+        flat = idx[i].reshape(-1)
+        acc = None
+        multi = len(per_sample[i]) > 1
+        for band, off in per_sample[i]:
+            size = band.shape[0]
+            g = jnp.take(band, jnp.clip(flat - off, 0, size - 1), axis=0,
+                         mode="clip")
+            if multi:
+                mask = ((flat >= off) & (flat < off + size)).astype(band.dtype)
+                g = g * mask[:, None]
+            acc = g if acc is None else acc + g
+        outs.append(acc)
+    return outs[0] if b == 1 else jnp.concatenate(outs, axis=0)
 
 
 def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
@@ -213,11 +239,12 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     if corners == 4:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, wy_a, wy_b = _axis_taps(py, h)
-        idx = by * w + bx + boff
         if banded:
-            vals = _flat_take_banded(packed.bands, packed.row_offsets, idx)
+            # Within-sample indices [B, P]: each sample gathers from its
+            # own table bands (see _flat_take_banded).
+            vals = _flat_take_banded(packed, by * w + bx)
         else:
-            vals = _flat_take(table, idx)
+            vals = _flat_take(table, by * w + bx + boff)
         v = vals.reshape(b, -1, 4 * c)
         # Corner sum as 4 contiguous lane-slices + weighted adds (pure
         # elementwise) instead of reshape-[.., 4, C] + reduce over the

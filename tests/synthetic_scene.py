@@ -128,11 +128,16 @@ def render_view(K, E, width, height, scene: str = "plane"):
 
     pw = cam_center + s_hit[..., None] * dirs_world
     depth = (s_hit * dirs[..., 2]).astype(np.float32)            # camera-frame z
-    # World-anchored texture: (x, y) for near-planar surfaces; the
-    # sphere adds z so its silhouette-adjacent texture differs from the
-    # plane behind it.
-    rgb = _texture(pw[..., 0] + 0.731 * pw[..., 2],
-                   pw[..., 1] + 0.517 * pw[..., 2]).astype(np.float32)
+    if scene == "plane":
+        # Exact round-1 texture (several tests/benches calibrate
+        # pixel-level tolerances on this fixture — keep it bit-stable).
+        rgb = _texture(pw[..., 0], pw[..., 1]).astype(np.float32)
+    else:
+        # World-anchored texture with a z-dependent shift: the sphere
+        # and the stepped background get distinct texture even where
+        # they project to nearby (x, y).
+        rgb = _texture(pw[..., 0] + 0.731 * pw[..., 2],
+                       pw[..., 1] + 0.517 * pw[..., 2]).astype(np.float32)
     return rgb, depth
 
 

@@ -84,7 +84,7 @@ def test_eval_cli_sphere_step_scene(tmp_path):
     scene = str(tmp_path / "scene")
     out = str(tmp_path / "out")
     os.makedirs(scene)
-    cams, depths = build_scene_dir(scene, num_views=5, width=448, height=336,
+    cams, depths = build_scene_dir(scene, num_views=5, width=448, height=320,
                                    write_gt_depth=False, scene="sphere_step")
 
     env = dict(os.environ)
@@ -93,7 +93,7 @@ def test_eval_cli_sphere_step_scene(tmp_path):
     result = subprocess.run(
         [sys.executable, os.path.join(repo, "eval.py"),
          "--dataset=custom", "--batch_size=1", "--n_views", "5",
-         "--img_wh", "448", "336", f"--testpath={scene}",
+         "--img_wh", "448", "320", f"--testpath={scene}",
          "--geo_pixel_thres=1", "--geo_depth_thres=0.01", "--photo_thres=0.3",
          f"--outdir={out}", "--loadckpt", CKPT],
         capture_output=True, text=True, cwd=repo, env=env, timeout=1800)

@@ -222,3 +222,36 @@ def test_banded_gather_matches_single_table(rng, monkeypatch):
     got = np.asarray(warp_corr_packed(banded, jnp.asarray(ref_fea),
                                       jnp.asarray(proj), jnp.asarray(depth), g))
     np.testing.assert_allclose(got, base, atol=1e-6)
+
+
+def test_sample_banded_gather_batch(rng, monkeypatch):
+    """Batch > 1 tables split on sample boundaries (each sample's
+    indices gather only from its own bands) must match the unbanded
+    flat-table gather exactly — including out-of-range coordinates."""
+    import sys
+
+    import itermvs_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["itermvs_tpu.ops.grid_sample"]
+
+    b, h, w, c = 3, 20, 30, 8
+    src = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-3, w + 2, (b, 5, h, w)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-3, h + 2, (b, 5, h, w)).astype(np.float32))
+    ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py))
+
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 500)
+    banded = gs.pack_corners_fast(src)
+    assert isinstance(banded, gs.BandedSource)
+    assert sorted(set(banded.sample_ids)) == [0, 1, 2]
+    assert len(banded.bands) == 6          # 600 rows/sample -> 2 bands
+    got = np.asarray(gs.gather_bilinear(banded, px, py))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # Single-band-per-sample case (batch split only, no within-sample
+    # bands, no masking passes).
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 1000)
+    banded1 = gs.pack_corners_fast(src)
+    assert isinstance(banded1, gs.BandedSource)
+    assert len(banded1.bands) == 3
+    got1 = np.asarray(gs.gather_bilinear(banded1, px, py))
+    np.testing.assert_allclose(got1, ref, atol=1e-6)

@@ -30,12 +30,13 @@ def main():
     wh = _os.environ.get("ITERMVS_PROF_WH", "1152x864")
     width, height = (int(v) for v in wh.split("x"))
     views = int(_os.environ.get("ITERMVS_PROF_VIEWS", "5"))
+    batch = int(_os.environ.get("ITERMVS_PROF_BATCH", "1"))
     s2d = _os.environ.get("ITERMVS_PROF_S2D", "0") == "1"
-    imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
+    imgs, projs, dmin, dmax = _example_inputs(batch, views, height, width)
     import jax.numpy as jnp
 
     dtype = jnp.dtype(_os.environ.get("ITERMVS_PROF_DTYPE", "bfloat16"))
-    print(f"profiling {width}x{height} V={views} dtype={dtype} s2d={s2d}")
+    print(f"profiling {width}x{height} B={batch} V={views} dtype={dtype} s2d={s2d}")
     model = Pipeline(iteration=4, test=True, dtype=dtype, s2d_stem=s2d)
     # Init at a tiny shape (params are resolution-independent) — skips a
     # full-size init compile per profiled resolution.

@@ -52,13 +52,16 @@ def main():
     batch_data = {"imgs": imgs, "proj_matrices": projs, "depth": depth,
                   "mask": mask, "depth_min": dmin, "depth_max": dmax}
     state, scalars = step(state, batch_data, jnp.float32(1e-3))
-    jax.block_until_ready(scalars["loss"])
+    float(scalars["loss"])
 
+    # Sync by FETCHING the loss each step: with donate_argnums on the
+    # step, block_until_ready on outputs returns early on this runtime
+    # (donated-alias buffers report ready; measured 40x off).
     import time
     t0 = time.perf_counter()
     for _ in range(5):
         state, scalars = step(state, batch_data, jnp.float32(1e-3))
-    jax.block_until_ready(scalars["loss"])
+        float(scalars["loss"])
     print(f"step time: {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms", flush=True)
 
     tracedir = tempfile.mkdtemp(prefix="train_trace_")
