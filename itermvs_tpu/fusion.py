@@ -234,20 +234,29 @@ def _save_display(out_folder, ref_view, ref_img, ref_depth, photo_mask,
 def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
                  geo_depth_thres=0.01, photo_thres=0.3, img_wh=(1600, 1152),
                  geo_mask_thres=3, verbose=True, display=False,
-                 finalize_workers=4):
+                 finalize_workers=None):
     """Fuse one scan's depth maps into a colored PLY (reference eval.py:212-309).
 
-    The device kernel runs one ref view at a time (dispatch is async);
-    each view's host tail — result fetch, mask PNGs, color decode,
-    back-projection, PLY append — runs on a `finalize_workers`-thread
-    pool so views' host work overlaps both the kernel and each other
-    (NumPy/PIL/cv2 release the GIL for the heavy parts). PLY appends
-    are serialized by a lock; vertex order in the cloud is therefore
-    nondeterministic across runs, which no consumer depends on.
+    The main thread streams host prep, async kernel dispatches and the
+    device→host result fetches (transfers MUST stay single-threaded:
+    concurrent fetches through the device transport were measured to
+    serialize at ~200 thread-seconds/view vs ~1 s sequential). Each
+    view's pure-host tail — mask PNGs, color decode, back-projection,
+    PLY append — runs on a `finalize_workers`-thread pool, overlapping
+    the kernels and transfers. PLY appends are serialized by a lock;
+    vertex order in the cloud is therefore nondeterministic across
+    runs, which no consumer depends on.
+
+    `finalize_workers` defaults to min(4, cpu_count): extra threads
+    only help when there are cores to run them — on a 1-core host more
+    threads just add GIL contention (measured 71.6 s vs 25-57 s per
+    7-view 1600×1152 scene at 4 vs 1 workers).
 
     Set ITERMVS_FUSION_TIMING=1 to print a per-phase wall-time summary.
 
     Returns (n_points, elapsed_seconds)."""
+    if finalize_workers is None:
+        finalize_workers = max(1, min(4, os.cpu_count() or 1))
     start = time.time()
     pair_data = read_pair_file(os.path.join(scan_folder, "pair.txt"))
     max_srcs = max((len(srcs) for _, srcs in pair_data), default=0)
@@ -257,6 +266,11 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
     os.makedirs(os.path.join(out_folder, "mask"), exist_ok=True)
     ply = PlyWriter(plyfilename)
     ply_lock = threading.Lock()
+    # Flat pixel grids, built once per scan and shared read-only by all
+    # finalize threads (they were ~30 MB of per-view re-allocation).
+    gw, gh = img_wh
+    grid_x = np.tile(np.arange(gw, dtype=np.float32), gh)
+    grid_y = np.repeat(np.arange(gh, dtype=np.float32), gw)
     phases = collections.defaultdict(float)
     phases_lock = threading.Lock()
 
@@ -316,13 +330,22 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
         )
         return ref_view, ref, out
 
-    def finalize(ref_view, ref, out):
-        """Fetch one view's results, write masks, collect vertices.
+    def fetch(out):
+        """Device→host fetch of one view's kernel results.
 
-        Runs on the finalize pool — touches only thread-safe state
-        (direct file reads, the locked PLY writer, the phase timers)."""
-        depth_averaged = timed("fetch", lambda: np.asarray(out[0]))
-        bits = timed("fetch", lambda: np.asarray(out[1]))
+        MAIN THREAD ONLY: concurrent fetches through the device
+        transport serialize pathologically (measured ~200 thread-
+        seconds per view when 4 finalize threads fetched their own
+        results vs ~1 s sequential), so transfers stay single-threaded
+        and only the pure-host tail goes to the pool."""
+        return (timed("fetch", lambda: np.asarray(out[0])),
+                timed("fetch", lambda: np.asarray(out[1])))
+
+    def finalize(ref_view, ref, depth_averaged, bits):
+        """One view's host tail: masks, color decode, back-projection,
+        PLY append. Runs on the finalize pool — touches only
+        thread-safe state (direct file reads, the locked PLY writer,
+        the phase timers)."""
         photo_mask = (bits & 1) > 0
         geo_mask = (bits & 2) > 0
         final_mask = (bits & 4) > 0
@@ -345,26 +368,27 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
                           photo_mask, geo_mask, final_mask)
 
         def backproject():
-            height, width = depth_averaged.shape
-            gx, gy = np.meshgrid(np.arange(width, dtype=np.float64),
-                                 np.arange(height, dtype=np.float64))
-            valid = final_mask
             # Row-major [P, 3] back-projection with K⁻¹/E⁻¹ folded into
-            # one 3×4 affine (≈7× faster than column-stacked f64 vstack
-            # chains at 1600×1152); f64 throughout — at DTU scales the
-            # f32 rounding of pixel·depth products is ~0.1 mm, a third
-            # of the benchmark's score.
-            pix = np.empty((int(valid.sum()), 3), np.float64)
-            depth = depth_averaged[valid].astype(np.float64)
-            pix[:, 0] = gx[valid] * depth
-            pix[:, 1] = gy[valid] * depth
+            # one 3×4 affine. Matrix inverses in f64, bulk math in f32:
+            # the pixel·depth products round at ~magnitude·6e-8 and the
+            # linear maps preserve RELATIVE error, so world coordinates
+            # land within ~1e-4 mm at DTU scales — far under the 0.2 mm
+            # scorer density. f32 matters on the host: this is per-view
+            # work on what may be a single CPU core (measured 2-3×).
+            idx = np.flatnonzero(final_mask.ravel())
+            depth = depth_averaged.ravel().take(idx).astype(np.float32,
+                                                            copy=False)
+            pix = np.empty((idx.size, 3), np.float32)
+            np.multiply(grid_x.take(idx), depth, out=pix[:, 0])
+            np.multiply(grid_y.take(idx), depth, out=pix[:, 1])
             pix[:, 2] = depth
             k_inv = np.linalg.inv(ref["K"].astype(np.float64))
             e_inv = np.linalg.inv(ref["E"].astype(np.float64))
-            m = e_inv[:3, :3] @ k_inv                       # pixel→world
-            xyz_world = pix @ m.T + e_inv[:3, 3]
-            return (xyz_world.astype(np.float32),
-                    (ref_img[valid] * 255).astype(np.uint8))
+            m = (e_inv[:3, :3] @ k_inv).astype(np.float32)  # pixel→world
+            xyz_world = pix @ m.T + e_inv[:3, 3].astype(np.float32)
+            colors = (ref_img.reshape(-1, 3).take(idx, axis=0)
+                      * np.float32(255)).astype(np.uint8)
+            return xyz_world, colors
 
         xyz_f32, colors = timed("backproject", backproject)
         # Stream this view's points to disk now — writes from concurrent
@@ -372,19 +396,28 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
         with ply_lock:
             timed("ply_write", ply.add, xyz_f32, colors)
 
-    # Software pipeline: the main thread streams host prep + kernel
-    # dispatches (device queue stays full); each view's host tail runs on
-    # the finalize pool, overlapping the kernel AND other views' tails.
-    # Outstanding finalizes are bounded to cap fetched-result memory.
+    # Software pipeline: the main thread streams host prep, kernel
+    # dispatches AND result fetches (dispatch i+1 is in flight while
+    # view i transfers); each view's pure-host tail (PNGs, color
+    # decode, back-projection, PLY append) runs on the finalize pool,
+    # overlapping the kernels, the transfers and other views' tails.
+    # Outstanding tails are bounded to cap in-flight memory.
     max_outstanding = max(2 * finalize_workers, 2)
     try:
         with ThreadPoolExecutor(max_workers=finalize_workers) as pool:
             futures = collections.deque()
+            pending = None
             for ref_view, src_views in pair_data:
                 launched = timed("dispatch", dispatch, ref_view, src_views)
-                futures.append(pool.submit(finalize, *launched))
+                if pending is not None:
+                    rv, ref, out = pending
+                    futures.append(pool.submit(finalize, rv, ref, *fetch(out)))
+                pending = launched
                 while len(futures) >= max_outstanding:
                     futures.popleft().result()
+            if pending is not None:
+                rv, ref, out = pending
+                futures.append(pool.submit(finalize, rv, ref, *fetch(out)))
             while futures:
                 futures.popleft().result()
     except BaseException:
