@@ -66,6 +66,42 @@ def _throughput(forward, width, height, views, iters=12):
     return iters / (time.perf_counter() - start)
 
 
+def _throughput_cached(model, variables, width, height, views, iters=12):
+    """Steady-state maps/sec of the feature-cached eval pipeline.
+
+    Models the eval.py --feature_cache inner loop on scan topology where
+    each new reference view introduces ~one unseen source image (DTU
+    pair lists are neighborhood-local): per map, ONE batch-1 FeatureNet
+    extraction + feature stack + match. The uncached forward instead
+    recomputes all `views` feature maps per map.
+    """
+    import jax
+    import jax.numpy as jnp
+    from itermvs_tpu.models import Pipeline
+    from __graft_entry__ import _example_inputs
+
+    imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
+    extract = jax.jit(lambda x: model.apply(variables, x,
+                                            method=Pipeline.extract))
+    match = jax.jit(lambda f, p, lo, hi: model.apply(
+        variables, f, p, lo, hi, method=Pipeline.match))
+    img0 = imgs["level_0"][:, 0]
+    cache = [extract(img0) for _ in range(views)]
+
+    def one_map():
+        cache.pop(0)
+        cache.append(extract(img0))          # the ~1 new view per map
+        out = match(tuple(cache), projs, dmin, dmax)
+        return out["depths_upsampled"], out["confidence_upsampled"]
+
+    jax.block_until_ready(one_map())
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = one_map()
+    jax.block_until_ready(out)
+    return iters / (time.perf_counter() - start)
+
+
 def _fusion_and_quality(forward, have_ckpt):
     """Synthetic 7-view scan at 1600×1152: model depths → PFMs →
     filter_depth (timed, 2nd run) → DTU-protocol score vs the plane."""
@@ -152,7 +188,15 @@ def main():
     maps_eval = _throughput(forward, 1600, 1152, views=5, iters=8)
     fusion_secs, overall = _fusion_and_quality(forward, have_ckpt)
 
+    maps_paper_cached = _throughput_cached(model, variables, 1152, 864, 5)
+    maps_eval_cached = _throughput_cached(model, variables, 1600, 1152, 5,
+                                          iters=8)
+
     extra = {
+        "maps_per_sec_1152x864_feature_cached": round(maps_paper_cached, 3),
+        "maps_per_sec_1600x1152_feature_cached": round(maps_eval_cached, 3),
+        "maps_per_sec_1600x1152_feature_cached_vs_baseline": round(
+            maps_eval_cached / BASELINE_MAPS_PER_SEC, 3),
         "maps_per_sec_1600x1152": round(maps_eval, 3),
         "maps_per_sec_1600x1152_vs_baseline": round(
             maps_eval / BASELINE_MAPS_PER_SEC, 3),

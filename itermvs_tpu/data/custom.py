@@ -53,4 +53,6 @@ class MVSDataset(MVSDatasetBase):
             "depth_min": np.float32(depth_min),
             "depth_max": np.float32(depth_max),
             "filename": "{}/" + f"{view_ids[0]:0>8}" + "{}",
+            "scan": "custom",
+            "view_ids": np.asarray(view_ids, dtype=np.int32),
         }

@@ -65,4 +65,8 @@ class MVSDataset(MVSDatasetBase):
             "depth_min": np.float32(depth_min),
             "depth_max": np.float32(depth_max),
             "filename": scan + "/{}/" + f"{view_ids[0]:0>8}" + "{}",
+            # Scan + per-view ids let inference drivers cache features
+            # per (scan, view) across samples (eval.py feature cache).
+            "scan": scan,
+            "view_ids": np.asarray(view_ids, dtype=np.int32),
         }

@@ -67,4 +67,6 @@ class MVSDataset(MVSDatasetBase):
             "depth_min": np.float32(depth_min),
             "depth_max": np.float32(depth_max),
             "filename": scan + "/{}/" + f"{view_ids[0]:0>8}" + "{}",
+            "scan": scan,
+            "view_ids": np.asarray(view_ids, dtype=np.int32),
         }

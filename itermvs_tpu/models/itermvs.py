@@ -378,10 +378,19 @@ class IterMVS(nn.Module):
         # sweep and every GRU iteration re-warp the same sources.
         # Per-view python lists (not stacked arrays) so packing fuses
         # with the view slice instead of copying [B, V-1, ...] blocks.
-        num_src = src_features["level1"].shape[1]
+        # src_features values may already BE per-view lists (the
+        # feature-cached match path, pipeline.py:match).
+        def _views(fea):
+            if isinstance(fea, (list, tuple)):
+                return list(fea)
+            return [fea[:, v] for v in range(fea.shape[1])]
+
+        src_views = {key: _views(src_features[key])
+                     for key in ("level1", "level2", "level3")}
+        num_src = len(src_views["level1"])
         packed_src = {
-            key: [pack_bilinear(maybe_perm(src_features[key][:, v], key))
-                  for v in range(num_src)]
+            key: [pack_bilinear(maybe_perm(view, key))
+                  for view in src_views[key]]
             for key in ("level1", "level2", "level3")
         }
         # Reference features on the 1/4 iteration grid, hoisted out of

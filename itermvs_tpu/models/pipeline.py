@@ -50,19 +50,39 @@ class Pipeline(nn.Module):
                                 dtype=self.dtype, interleave=self.interleave,
                                 name="iter_mvs")
 
-    def __call__(self, imgs, proj_matrices, depth_min, depth_max,
-                 train: bool = False):
-        x = imgs["level_0"].astype(jnp.float32)       # [B, V, H, W, 3]
-        b, v, h, w, c = x.shape
-        features = self.feature_net(x.reshape(b * v, h, w, c), train)
+    def extract(self, imgs, train: bool = False):
+        """FeatureNet over a flat batch of views.
 
+        imgs: [N, H, W, 3] float images → dict level1..3, [N, h, w, c].
+        Exposed as a separate entry point so inference drivers can
+        compute each image's features ONCE per scan and reuse them
+        across every depth map it appears in (eval.py feature cache) —
+        the reference recomputes all V feature maps per reference view
+        (net.py:52-65)."""
+        return self.feature_net(imgs.astype(jnp.float32), train)
+
+    def match(self, features, proj_matrices, depth_min, depth_max):
+        """IterMVS on precomputed features.
+
+        features: dict level1..3 of [B, V, h, w, c] maps (view 0 = ref,
+        matching `extract` outputs stacked along axis 1), OR a sequence
+        of V per-view dicts level1..3 of [B, h, w, c] — the zero-copy
+        form the eval.py feature cache uses (IterMVS consumes per-view
+        source lists anyway, so stacking would only round-trip HBM);
+        remaining args as in `__call__`."""
+        b = depth_min.reshape(-1).shape[0]
         ref_features = {}
         src_features = {}
-        for level in (1, 2, 3):
-            fea = features[f"level{level}"]
-            fea = fea.reshape(b, v, *fea.shape[1:])
-            ref_features[f"level{level}"] = fea[:, 0]
-            src_features[f"level{level}"] = fea[:, 1:]
+        if isinstance(features, (list, tuple)):
+            for level in (1, 2, 3):
+                key = f"level{level}"
+                ref_features[key] = features[0][key]
+                src_features[key] = [f[key] for f in features[1:]]
+        else:
+            for level in (1, 2, 3):
+                fea = features[f"level{level}"]
+                ref_features[f"level{level}"] = fea[:, 0]
+                src_features[f"level{level}"] = fea[:, 1:]
 
         rel_projs = {}
         for level in (1, 2, 3):
@@ -90,3 +110,12 @@ class Pipeline(nn.Module):
             "confidences": confidences,
             "confidence_upsampled": confidence_upsampled,
         }
+
+    def __call__(self, imgs, proj_matrices, depth_min, depth_max,
+                 train: bool = False):
+        x = imgs["level_0"].astype(jnp.float32)       # [B, V, H, W, 3]
+        b, v, h, w, c = x.shape
+        flat = self.extract(x.reshape(b * v, h, w, c), train)
+        features = {key: fea.reshape(b, v, *fea.shape[1:])
+                    for key, fea in flat.items()}
+        return self.match(features, proj_matrices, depth_min, depth_max)

@@ -94,9 +94,17 @@ def main():
     print("-- by category (op-name prefix) --")
     for base, dur in cats.most_common(12):
         print(f"  {base:26s} {dur / 1e3 / steps:8.2f} ms/step")
+    top = int(_os.environ.get("ITERMVS_PROF_TOP", "40"))
+    only = _os.environ.get("ITERMVS_PROF_ONLY")  # substring filter, e.g. "copy"
     print("\n-- top ops (canonicalized HLO) --")
-    for key, dur in ops.most_common(40):
-        print(f"{dur / 1e3 / steps:8.2f} ms/step x{counts[key]:4d}  {key[:110]}")
+    shown = 0
+    for key, dur in ops.most_common():
+        if only and not key.startswith(only):
+            continue
+        print(f"{dur / 1e3 / steps:8.2f} ms/step x{counts[key]:4d}  {key[:130]}")
+        shown += 1
+        if shown >= top:
+            break
 
 
 if __name__ == "__main__":
