@@ -77,15 +77,29 @@ def main():
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             tracks[ev.get("pid")] = (ev.get("args") or {}).get("name", "?")
+    import re
+
     totals = collections.Counter()
     counts = collections.Counter()
+    cats = collections.Counter()
     for ev in trace.get("traceEvents", []):
-        if (ev.get("ph") == "X"
-                and tracks.get(ev.get("pid")) == "/device:TPU:0"):
-            totals[ev.get("name", "?")] += ev.get("dur", 0)
-            counts[ev.get("name", "?")] += 1
+        if (ev.get("ph") != "X"
+                or "TPU" not in str(tracks.get(ev.get("pid"), ""))):
+            continue
+        name = ev.get("name", "?")
+        if name.startswith("jit_") or name == "1":
+            continue
+        cats[name.split(".")[0]] += ev.get("dur", 0)
+        long = str((ev.get("args") or {}).get("long_name") or name)
+        key = re.sub(r"\.\d+", "", long)[:130]
+        totals[key] += ev.get("dur", 0)
+        counts[key] += 1
+    print(f"device total: {sum(cats.values()) / 1e3:.1f} ms/step\n")
+    for base, dur in cats.most_common(12):
+        print(f"  {base:26s} {dur / 1e3:8.2f} ms/step")
+    print()
     for name, dur in totals.most_common(40):
-        print(f"{dur / 1e3:9.3f} ms  x{counts[name]:3d}  {name[:90]}")
+        print(f"{dur / 1e3:9.3f} ms  x{counts[name]:3d}  {name[:120]}")
 
 
 if __name__ == "__main__":
