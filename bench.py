@@ -78,20 +78,28 @@ def _throughput_cached(model, variables, width, height, views, iters=12):
     import jax
     import jax.numpy as jnp
     from itermvs_tpu.models import Pipeline
+    from itermvs_tpu.ops.warping import pack_bilinear
     from __graft_entry__ import _example_inputs
 
     imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
     extract = jax.jit(lambda x: model.apply(variables, x,
                                             method=Pipeline.extract))
+    prepack = jax.jit(lambda f: {k: pack_bilinear(v) for k, v in f.items()})
     match = jax.jit(lambda f, p, lo, hi: model.apply(
         variables, f, p, lo, hi, method=Pipeline.match))
     img0 = imgs["level_0"][:, 0]
-    cache = [extract(img0) for _ in range(views)]
+
+    def extract_packed():
+        fea = extract(img0)
+        return fea, prepack(fea)
+
+    cache = [extract_packed() for _ in range(views)]
 
     def one_map():
         cache.pop(0)
-        cache.append(extract(img0))          # the ~1 new view per map
-        out = match(tuple(cache), projs, dmin, dmax)
+        cache.append(extract_packed())       # the ~1 new view per map
+        out = match((cache[0][0], *(p for _, p in cache[1:])),
+                    projs, dmin, dmax)
         return out["depths_upsampled"], out["confidence_upsampled"]
 
     jax.block_until_ready(one_map())

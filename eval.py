@@ -161,8 +161,18 @@ def save_depth(args, img_wh):
     if use_cache:
         from collections import OrderedDict
 
+        from itermvs_tpu.ops.warping import pack_bilinear
+
         extract = jax.jit(lambda x: model.apply(variables, x,
                                                 method=Pipeline.extract))
+        # Corner-packed gather tables are a pure function of a view's
+        # features, reused by every map the view serves as a source —
+        # pack ONCE per (scan, view) here instead of per map inside
+        # match (rebuilding ~100 MB of identical tables per map at DTU
+        # eval resolution). IterMVS accepts the pre-packed sources
+        # as-is (models/itermvs.py:_pack).
+        prepack = jax.jit(
+            lambda f: {k: pack_bilinear(v) for k, v in f.items()})
         match = jax.jit(lambda f, p, lo, hi: model.apply(
             variables, f, p, lo, hi, method=Pipeline.match))
         feature_cache: OrderedDict = OrderedDict()
@@ -171,27 +181,32 @@ def save_depth(args, img_wh):
             scan = sample.get("scan", ["?"])[0]
             vids = np.asarray(sample["view_ids"][0])
             level0 = sample["imgs"]["level_0"]          # [1, V, H, W, 3]
-            per_view = []
+            raw_ref = None
+            packed_srcs = []
             for i, vid in enumerate(vids):
                 key = (scan, int(vid))
                 if key not in feature_cache:
-                    feature_cache[key] = extract(jnp.asarray(level0[:, i]))
+                    fea = extract(jnp.asarray(level0[:, i]))
+                    feature_cache[key] = (fea, prepack(fea))
                     while len(feature_cache) > args.feature_cache_views:
                         feature_cache.popitem(last=False)
                 else:
                     feature_cache.move_to_end(key)
-                per_view.append(feature_cache[key])
+                raw, packed = feature_cache[key]
+                if i == 0:
+                    raw_ref = raw
+                else:
+                    packed_srcs.append(packed)
             # Per-view list form: match consumes per-view sources
             # directly, no stack/re-slice HBM round trip.
-            out = match(tuple(per_view), projs, dmin, dmax)
+            out = match((raw_ref, *packed_srcs), projs, dmin, dmax)
             return out["depths_upsampled"], out["confidence_upsampled"]
 
     writer_pool = ThreadPoolExecutor(max_workers=2)
     write_futures = []
 
-    total = len(loader)
-    for batch_idx, sample in enumerate(loader):
-        start = time.time()
+    def dispatch(sample):
+        """Host→device upload + async forward launch for one batch."""
         n_real = len(sample["filename"])
         pad = args.batch_size - n_real if mesh is not None else 0
         # Upload only what the model reads (pipeline.py: level_0 images,
@@ -208,6 +223,10 @@ def save_depth(args, img_wh):
             imgs = {k: jnp.asarray(_pad(v, pad) if pad else v)
                     for k, v in sample["imgs"].items() if k == "level_0"}
             depths, confs = forward(imgs, projs, dmin, dmax)
+        return sample, n_real, depths, confs
+
+    def finalize(batch_idx, start, sample, n_real, depths, confs):
+        """Device→host fetch + PFM writer handoff for one batch."""
         depths = np.asarray(depths)[:n_real, ..., 0]
         confs = np.asarray(confs)[:n_real, ..., 0]
         print(f"Iter {batch_idx}/{total}, time = {time.time() - start:.3f}")
@@ -218,6 +237,22 @@ def save_depth(args, img_wh):
             write_futures.append(
                 writer_pool.submit(_write_outputs, args.outdir, filename,
                                    depth_est, confidence))
+
+    # One-batch software pipeline: batch i+1's upload + forward are
+    # dispatched BEFORE batch i's results are fetched, so the device
+    # computes through the fetch + PFM handoff instead of idling on the
+    # host between batches (same scheme as fusion.py's dispatch/fetch).
+    total = len(loader)
+    pending = None
+    start = time.time()
+    for batch_idx, sample in enumerate(loader):
+        launched = dispatch(sample)
+        if pending is not None:
+            finalize(batch_idx - 1, start, *pending)
+        start = time.time()
+        pending = launched
+    if pending is not None:
+        finalize(total - 1, start, *pending)
 
     # All PFMs must be on disk before fusion reads them back; surface any
     # write failure (disk full, bad path) with its real traceback instead

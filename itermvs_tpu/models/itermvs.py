@@ -34,8 +34,12 @@ import flax.linen as nn
 from itermvs_tpu.models.blocks import Conv, ConvGRU, ConvReLU, ConvTranspose
 from itermvs_tpu.ops.depth_range import depth_unnormalization
 from itermvs_tpu.ops.resize import resize_bilinear, upsample_bilinear
+from itermvs_tpu.ops.grid_sample import (
+    BandedSource, PackedSource, gather_corners,
+)
 from itermvs_tpu.ops.warping import (
-    interleave_perm, pack_bilinear, warp_corr_packed,
+    fused_sweep_taps, group_corr, interleave_perm, pack_bilinear,
+    warp_corr_packed,
 )
 
 NUM_BINS = 256          # output probability bins over normalized inverse depth
@@ -173,13 +177,36 @@ class Evaluation(nn.Module):
         num_sample = depth_samples.shape[1]
 
         # Warps stay per view (separate gather tables keep the fast
-        # gather path); the view-weight convs and the weighted
-        # aggregation run batched over the view axis.
-        corr = jnp.stack([
-            warp_corr_packed(src_features[v], ref_feature, rel_projs[:, v],
-                             depth_samples, GROUPS, interleaved=self.interleave)
-            for v in range(num_views)
-        ], axis=1)                                           # [B,V,N,H,W,G]
+        # gather path); the projective/tap math batches over the view
+        # axis in one fused chain (fused_sweep_taps), like the
+        # iteration branch, and the view-weight convs and weighted
+        # aggregation run batched over views.
+        if self.interleave:
+            per_view = [
+                warp_corr_packed(src_features[v], ref_feature,
+                                 rel_projs[:, v], depth_samples, GROUPS,
+                                 interleaved=True)
+                for v in range(num_views)
+            ]
+        else:
+            b_, n_, h_, w_ = depth_samples.shape
+            c = src_features[0].src_shape[-1] // 4
+            table_dtype = (src_features[0].bands[0].dtype
+                           if hasattr(src_features[0], "bands")
+                           else src_features[0].data.dtype)
+            flat_idx, taps = fused_sweep_taps(
+                rel_projs[:, :, None], depth_samples, (0,) * n_,
+                (src_features[0].src_shape[1:3],), table_dtype)
+            per_view = [
+                group_corr(
+                    gather_corners(
+                        src_features[v], flat_idx[:, v].reshape(b_, -1),
+                        *[t[:, v].reshape(b_, -1) for t in taps],
+                    ).reshape(b_, n_, h_, w_, c),
+                    ref_feature, GROUPS)
+                for v in range(num_views)
+            ]
+        corr = jnp.stack(per_view, axis=1)                   # [B,V,N,H,W,G]
         b, _, n, h, w, g = corr.shape
         weight = self.pixel_view_weight(
             corr.reshape(b * num_views, n, h, w, g))         # [B·V,H,W,1]
@@ -215,32 +242,75 @@ class Evaluation(nn.Module):
           src_features: dict level1..3 of per-view lists of
             corner-packed [B, Hl, Wl, 4·Cl] at native level resolution.
           rel_projs: dict level1..3 of [B, V−1, 4, 4].
-          depth_samples: dict level1..3 of [B, Nl, H4, W4].
+          depth_samples: [B, 10, H4, W4] per-level sample stacks
+            concatenated along axis 1 (level1 ×4, level2 ×4, level3 ×2).
           view_weights: [B, V−1, H4, W4, 1], frozen.
 
         Returns correlation [B, H4, W4, 10] (4+4+2 level channels).
+
+        The projective + bilinear-tap math for all 3 levels × V−1 views
+        runs as one fused [B, V, 10, H, W] chain (ops/warping.py:
+        fused_sweep_taps) — only the row gathers and correlation
+        reductions stay per (view, level), since each view×level has
+        its own packed table. The interleave variant keeps the
+        per-(view, level) path (packing follows a channel permutation).
         """
         view_weights = jax.lax.stop_gradient(view_weights)
         num_views = view_weights.shape[1]
         w_hw = view_weights[..., 0]                           # [B,V,H4,W4]
         weight_sum = 1e-5 + jnp.sum(w_hw, axis=1)[:, None, :, :, None]
+        counts = {1: 4, 2: 4, 3: 2}
         aggs = {}
-        for level in (1, 2, 3):
-            key = f"level{level}"
-            ref = ref_features[key]
-            samples = depth_samples[key]
-            # Accumulate the weighted sum in the unrolled view loop
-            # instead of stacking [B,V,Nl,H,W,G] and reducing — skips
-            # materializing the per-view stack in HBM every iteration.
-            agg = None
-            for v in range(num_views):
-                corr_v = warp_corr_packed(src_features[key][v], ref,
-                                          rel_projs[key][:, v], samples,
-                                          GROUPS,
-                                          interleaved=self.interleave)
-                wv = w_hw[:, v][:, None, :, :, None]           # [B,1,H,W,1]
-                agg = corr_v * wv if agg is None else agg + corr_v * wv
-            aggs[level] = agg / weight_sum
+        if self.interleave:
+            off = 0
+            for level in (1, 2, 3):
+                key = f"level{level}"
+                n = counts[level]
+                samples = depth_samples[:, off:off + n]
+                off += n
+                agg = None
+                for v in range(num_views):
+                    corr_v = warp_corr_packed(src_features[key][v],
+                                              ref_features[key],
+                                              rel_projs[key][:, v], samples,
+                                              GROUPS, interleaved=True)
+                    wv = w_hw[:, v][:, None, :, :, None]       # [B,1,H,W,1]
+                    agg = corr_v * wv if agg is None else agg + corr_v * wv
+                aggs[level] = agg / weight_sum
+        else:
+            b, n_all, h, w = depth_samples.shape
+            rel_stack = jnp.stack(
+                [rel_projs[f"level{l}"] for l in (1, 2, 3)], axis=2)
+            src_hws = tuple(src_features[f"level{l}"][0].src_shape[1:3]
+                            for l in (1, 2, 3))
+            level_of_sample = (0,) * 4 + (1,) * 4 + (2,) * 2
+            table_dtype = (src_features["level1"][0].bands[0].dtype
+                           if hasattr(src_features["level1"][0], "bands")
+                           else src_features["level1"][0].data.dtype)
+            flat_idx, taps = fused_sweep_taps(
+                rel_stack, depth_samples, level_of_sample, src_hws,
+                table_dtype)
+            off = 0
+            for level in (1, 2, 3):
+                key = f"level{level}"
+                n = counts[level]
+                ref = ref_features[key]
+                c = src_features[key][0].src_shape[-1] // 4
+                # Accumulate the weighted sum in the unrolled view loop
+                # instead of stacking [B,V,Nl,H,W,G] and reducing —
+                # keeps peak memory at one view's correlation.
+                agg = None
+                for v in range(num_views):
+                    idx_vl = flat_idx[:, v, off:off + n].reshape(b, -1)
+                    t_vl = [t[:, v, off:off + n].reshape(b, -1) for t in taps]
+                    warped = gather_corners(
+                        src_features[key][v], idx_vl, *t_vl
+                    ).reshape(b, n, h, w, c)
+                    corr_v = group_corr(warped, ref, GROUPS)
+                    wv = w_hw[:, v][:, None, :, :, None]       # [B,1,H,W,1]
+                    agg = corr_v * wv if agg is None else agg + corr_v * wv
+                aggs[level] = agg / weight_sum
+                off += n
 
         correlations = [self.corr_net1(aggs[1]), self.corr_net2(aggs[2]),
                         self.corr_net3(aggs[3])]
@@ -388,9 +458,25 @@ class IterMVS(nn.Module):
         src_views = {key: _views(src_features[key])
                      for key in ("level1", "level2", "level3")}
         num_src = len(src_views["level1"])
+
+        # Source views may arrive already corner-packed (the eval.py
+        # feature cache packs each view ONCE per scan and reuses the
+        # table across every map the view serves — repacking here would
+        # rebuild identical multi-MB tables per map). Interleaving
+        # permutes channels before packing, so pre-packed tables are
+        # only accepted in natural order.
+        def _pack(view, key):
+            if isinstance(view, (PackedSource, BandedSource)):
+                if self.interleave:
+                    raise ValueError(
+                        "pre-packed sources are incompatible with "
+                        "interleave=True (packing must follow the "
+                        "channel permutation)")
+                return view
+            return pack_bilinear(maybe_perm(view, key))
+
         packed_src = {
-            key: [pack_bilinear(maybe_perm(view, key))
-                  for view in src_views[key]]
+            key: [_pack(view, key) for view in src_views[key]]
             for key in ("level1", "level2", "level3")
         }
         # Reference features on the 1/4 iteration grid, hoisted out of
@@ -424,18 +510,19 @@ class IterMVS(nn.Module):
             confidences.append(confidence_logits)
             normalized_depth = jax.lax.stop_gradient(normalized_depth)
 
-        # Per-level sample offsets, fixed: [1, Nl, 1, 1].
-        intervals = {
-            key: jnp.asarray(vals, jnp.float32).reshape(1, -1, 1, 1) * INTERVAL_SCALE
-            for key, vals in CORR_INTERVALS.items()
-        }
+        # Per-level sample offsets, fixed, concatenated along the sample
+        # axis (level1 ×4, level2 ×4, level3 ×2): the whole per-iteration
+        # sample construction + projective/tap math runs as one fused
+        # [B, 10, H, W] chain (ops/warping.py:fused_sweep_taps).
+        intervals = jnp.asarray(
+            CORR_INTERVALS["level1"] + CORR_INTERVALS["level2"]
+            + CORR_INTERVALS["level3"], jnp.float32
+        ).reshape(1, -1, 1, 1) * INTERVAL_SCALE
 
         for it in range(self.iteration):
-            samples = {}
             nd = normalized_depth[..., 0][:, None]           # [B,1,H4,W4]
-            for key, offs in intervals.items():
-                s = jnp.clip(nd + offs, 0.0, 1.0)
-                samples[key] = depth_unnormalization(s, idmin_b, idmax_b)
+            s = jnp.clip(nd + intervals, 0.0, 1.0)
+            samples = depth_unnormalization(s, idmin_b, idmax_b)
 
             corr = self.evaluation.iter_sweep(
                 ref_iter, packed_src, rel_projs, samples, view_weights)

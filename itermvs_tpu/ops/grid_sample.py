@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 class PackedSource(NamedTuple):
@@ -89,6 +90,24 @@ class BandedSource(NamedTuple):
     @property
     def src_shape(self):
         return self.shape
+
+
+# Packed tables cross jit boundaries (the eval feature cache holds them
+# per scan view and feeds them to the jitted match step). Explicit
+# pytree registration keeps the structural fields — packing factor, band
+# geometry — STATIC aux data instead of letting the namedtuple fallback
+# trace them (Python `if corners == 4` / band loops need concrete ints).
+jax.tree_util.register_pytree_node(
+    PackedSource,
+    lambda p: ((p.data,), p.corners),
+    lambda corners, children: PackedSource(children[0], corners),
+)
+jax.tree_util.register_pytree_node(
+    BandedSource,
+    lambda p: (tuple(p.bands),
+               (p.sample_ids, p.row_offsets, p.shape, p.corners)),
+    lambda aux, bands: BandedSource(tuple(bands), *aux),
+)
 
 
 def pack_corners_fast(src: jnp.ndarray, corners: int = 4):
@@ -206,6 +225,34 @@ def _flat_take_banded(packed: "BandedSource", idx: jnp.ndarray) -> jnp.ndarray:
     return outs[0] if b == 1 else jnp.concatenate(outs, axis=0)
 
 
+def gather_corners(packed, flat_idx: jnp.ndarray, w00, w01, w10, w11
+                   ) -> jnp.ndarray:
+    """Row-gather a 4-corner packed table and apply the bilinear taps.
+
+    Args:
+      packed: `PackedSource` / `BandedSource` with corners == 4.
+      flat_idx: [B, P] int32 base-corner row indices, within-sample.
+      w00..w11: [B, P] tap weights, already in the table dtype.
+
+    Returns [B, P, C]. One flat row gather + the corner sum as 4
+    contiguous lane-slices (see gather_bilinear for why slices beat a
+    corner-axis reduce).
+    """
+    b, h, w, ck = packed.src_shape
+    c = ck // 4
+    if isinstance(packed, BandedSource):
+        vals = _flat_take_banded(packed, flat_idx)
+    else:
+        table = packed.data.reshape(b * h * w, ck)
+        boff = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None] if b > 1 else 0
+        vals = _flat_take(table, flat_idx + boff)
+    v = vals.reshape(b, -1, 4 * c)
+    return (v[..., 0 * c:1 * c] * w00[..., None]
+            + v[..., 1 * c:2 * c] * w01[..., None]
+            + v[..., 2 * c:3 * c] * w10[..., None]
+            + v[..., 3 * c:4 * c] * w11[..., None])         # [B, P, C]
+
+
 def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
                     ) -> jnp.ndarray:
     """Sample a `PackedSource` at pixel coords `px, py` [B, ...].
@@ -239,13 +286,6 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     if corners == 4:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, wy_a, wy_b = _axis_taps(py, h)
-        if banded:
-            # Within-sample indices [B, P]: each sample gathers from its
-            # own table bands (see _flat_take_banded).
-            vals = _flat_take_banded(packed, by * w + bx)
-        else:
-            vals = _flat_take(table, by * w + bx + boff)
-        v = vals.reshape(b, -1, 4 * c)
         # Corner sum as 4 contiguous lane-slices + weighted adds (pure
         # elementwise) instead of reshape-[.., 4, C] + reduce over the
         # corner axis: the cross-minor reduce makes XLA relayout the
@@ -255,10 +295,7 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
         (w01,) = cast(wy_a * wx_b)
         (w10,) = cast(wy_b * wx_a)
         (w11,) = cast(wy_b * wx_b)
-        out = (v[..., 0 * c:1 * c] * w00[..., None]
-               + v[..., 1 * c:2 * c] * w01[..., None]
-               + v[..., 2 * c:3 * c] * w10[..., None]
-               + v[..., 3 * c:4 * c] * w11[..., None])       # [B, P, C]
+        out = gather_corners(packed, by * w + bx, w00, w01, w10, w11)
     elif corners == 2:
         bx, wx_a, wx_b = _axis_taps(px, w)
         by, by2, wy_a, wy_b = _axis_taps_pair(py, h)

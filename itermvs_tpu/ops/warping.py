@@ -123,6 +123,120 @@ def differentiable_warp(src_fea: jnp.ndarray, proj: jnp.ndarray,
                                       depth_samples)
 
 
+def group_corr(warped: jnp.ndarray, ref_fea: jnp.ndarray, groups: int
+                ) -> jnp.ndarray:
+    """Group-wise correlation of warped [B,N,H,W,C] vs ref [B,H,W,C].
+
+    Multiply in the feature dtype, accumulate the group mean in f32
+    (the reduce fusion reads bf16 and emits f32 in bf16 mode)."""
+    b, n, h, w, c = warped.shape
+    cg = c // groups
+    prod = warped.reshape(b, n, h, w, groups, cg) * ref_fea.reshape(
+        b, 1, h, w, groups, cg
+    ).astype(warped.dtype)
+    return jnp.mean(prod, axis=-1, dtype=jnp.float32)
+
+
+def fused_sweep_taps(rel_projs: jnp.ndarray, depth_samples: jnp.ndarray,
+                     level_of_sample, src_hws, table_dtype):
+    """Gather indices + bilinear tap weights for a multi-level,
+    multi-view sweep, computed as ONE elementwise chain.
+
+    The GRU iteration warps every source view at 3 pyramid levels
+    (reference models/itermvs.py:84-126) — 12 warps per iteration whose
+    projective/tap math ran as 12 separate small-op chains (the
+    dominant share of the ~1900-event layout/copy tail at 1152×864,
+    docs/PERFORMANCE.md). Per-level source resolutions only enter this
+    math as per-sample constants (grid scale, clamp bounds, row pitch),
+    so the whole chain batches over [B, V, N, H, W] with broadcast
+    per-sample constants — element-for-element the same operations as
+    the per-(view, level) path (tests/test_warping.py pins equality).
+
+    Args:
+      rel_projs: [B, V, L, 4, 4] relative projections per (view, level).
+      depth_samples: [B, N, H, W] depths, per-level stacks concatenated
+        along the sample axis.
+      level_of_sample: static length-N tuple mapping sample → level idx.
+      src_hws: per-level (H_l, W_l) source-feature sizes.
+      table_dtype: dtype of the packed gather tables (tap weights are
+        pre-cast so the gather epilogue stays in the table dtype).
+
+    Returns (flat_idx [B,V,N,H,W] int32 base-corner row indices,
+    (w00, w01, w10, w11) tap weights in table_dtype).
+    """
+    b, n, h, w = depth_samples.shape
+    v = rel_projs.shape[1]
+
+    rot = rel_projs[..., :3, :3]                     # [B,V,L,3,3]
+    trans = rel_projs[..., :3, 3]                    # [B,V,L,3]
+
+    # Per-level reference grids in source-pixel units [L, H*W, 3] —
+    # identical per-element math to the per-level grids (the level only
+    # scales the arange, module.py:95-96 semantics).
+    grids = []
+    for h1, w1 in src_hws:
+        xs = jnp.arange(w, dtype=jnp.float32) * (w1 / w)
+        ys = jnp.arange(h, dtype=jnp.float32) * (h1 / h)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+        grids.append(jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1
+                               ).reshape(h * w, 3))
+    xyz = jnp.stack(grids, axis=0)                   # [L, HW, 3]
+
+    # HIGHEST precision: projective coordinates must not round to bf16
+    # on the MXU — sub-pixel grid errors cost mm-level depth accuracy.
+    rot_xyz = jnp.einsum("bvlij,lpj->bvlpi", rot, xyz,
+                         precision="highest")        # [B,V,L,HW,3]
+
+    # Expand level → sample axis (static broadcast-concat; XLA folds it
+    # into the consuming fusion).
+    def per_sample(x):                               # [B,V,L,...] -> [B,V,N,...]
+        parts = []
+        for s in range(n):
+            parts.append(x[:, :, level_of_sample[s]:level_of_sample[s] + 1])
+        return jnp.concatenate(parts, axis=2)
+
+    rot_s = per_sample(rot_xyz)                      # [B,V,N,HW,3]
+    trans_s = per_sample(trans[..., None, :])        # [B,V,N,1,3]
+    proj_xyz = rot_s * depth_samples.reshape(b, 1, n, h * w, 1) + trans_s
+
+    z = proj_xyz[..., 2]
+    valid = z > 1e-2
+    # Behind-camera samples land on (W_d, H_d) with z=1 — reference
+    # behavior (module.py:104-108); depth-grid dims, level-independent.
+    px = jnp.where(valid, proj_xyz[..., 0], jnp.float32(w))
+    py = jnp.where(valid, proj_xyz[..., 1], jnp.float32(h))
+    pz = jnp.where(valid, z, 1.0)
+    px = jax.lax.stop_gradient(px / pz)              # [B,V,N,HW]
+    py = jax.lax.stop_gradient(py / pz)
+
+    # Per-sample clamp bounds / row pitch as broadcast constants.
+    size_x = jnp.asarray([src_hws[l][1] for l in level_of_sample],
+                         jnp.float32).reshape(1, 1, n, 1)
+    size_y = jnp.asarray([src_hws[l][0] for l in level_of_sample],
+                         jnp.float32).reshape(1, 1, n, 1)
+    pitch = jnp.asarray([src_hws[l][1] for l in level_of_sample],
+                        jnp.int32).reshape(1, 1, n, 1)
+
+    def axis_taps(p, size):
+        # _axis_taps with a per-sample size array (same per-element math).
+        p0 = jnp.floor(p)
+        base = jnp.clip(p0, 0.0, size - 1.0)
+        frac = p - p0
+        at_base = p0 == base
+        w_a = jnp.where(at_base, 1.0 - frac,
+                        jnp.where(p0 + 1.0 == base, frac, 0.0))
+        w_b = jnp.where(at_base, frac, 0.0)
+        return base.astype(jnp.int32), w_a, w_b
+
+    bx, wx_a, wx_b = axis_taps(px, size_x)
+    by, wy_a, wy_b = axis_taps(py, size_y)
+    flat_idx = (by * pitch + bx).reshape(b, v, n, h, w)
+    taps = tuple((wy * wx).astype(table_dtype).reshape(b, v, n, h, w)
+                 for wy, wx in ((wy_a, wx_a), (wy_a, wx_b),
+                                (wy_b, wx_a), (wy_b, wx_b)))
+    return flat_idx, taps
+
+
 def interleave_perm(channels: int, groups: int):
     """Permutation putting correlation-group channels at stride G.
 
@@ -177,16 +291,12 @@ def warp_corr_packed(packed_src, ref_fea: jnp.ndarray,
         for j in range(1, cg):
             acc = acc + prod[..., j * groups:(j + 1) * groups].astype(jnp.float32)
         return acc / cg
-    # Multiply in the feature dtype, accumulate the group mean in f32
-    # (the reduce fusion reads bf16 and emits f32 in bf16 mode). Note:
-    # expressing this sum as cg strided lane-slices + adds (like the
-    # corner sum in gather_bilinear) was measured SLOWER (83 → 90 ms at
-    # 1152×864) — strided lane shuffles cost more than the reduce's
-    # relayout; contiguous corner slices are the exception, not the rule.
-    prod = warped.reshape(b, n, h, w, groups, cg) * ref_fea.reshape(
-        b, 1, h, w, groups, cg
-    ).astype(warped.dtype)
-    return jnp.mean(prod, axis=-1, dtype=jnp.float32)
+    # Note: expressing the group sum as cg strided lane-slices + adds
+    # (like the corner sum in gather_bilinear) was measured SLOWER
+    # (83 → 90 ms at 1152×864) — strided lane shuffles cost more than
+    # the reduce's relayout; contiguous corner slices are the
+    # exception, not the rule.
+    return group_corr(warped, ref_fea, groups)
 
 
 def warp_corr(src_fea: jnp.ndarray, ref_fea: jnp.ndarray, proj: jnp.ndarray,

@@ -53,12 +53,29 @@ def test_extract_match_equals_forward(small_setup):
     out_list = model.apply(variables, tuple(per_view), projs, dmin, dmax,
                            method=Pipeline.match)
 
+    # Pre-packed sources (the table-caching eval path): source entries
+    # are corner-packed tables built once outside match; must go through
+    # a jit boundary to exercise the PackedSource pytree registration.
+    from itermvs_tpu.ops.warping import pack_bilinear
+    prepack = jax.jit(lambda f: {k: pack_bilinear(x) for k, x in f.items()})
+    packed = (per_view[0], *(prepack(f) for f in per_view[1:]))
+    match = jax.jit(lambda f, p, lo, hi: model.apply(
+        variables, f, p, lo, hi, method=Pipeline.match))
+    out_packed = match(packed, projs, dmin, dmax)
+
     for key in ("depths_upsampled", "confidence_upsampled"):
         a = np.asarray(ref[key])
         for out in (out_stacked, out_list):
             b = np.asarray(out[key])
             assert np.allclose(a, b, rtol=0, atol=1e-6), (
                 f"{key}: max diff {np.abs(a - b).max()}")
+        # Packing is exact data movement, but the pre-packed form runs
+        # under a different jit program than the unjitted reference —
+        # allow f32 fusion/reassociation noise (observed ~1e-6 on
+        # depths of O(5)).
+        b = np.asarray(out_packed[key])
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-5), (
+            f"{key} (packed): max diff {np.abs(a - b).max()}")
 
 
 def test_eval_datasets_expose_view_ids(tmp_path):

@@ -255,3 +255,60 @@ def test_sample_banded_gather_batch(rng, monkeypatch):
     assert len(banded1.bands) == 3
     got1 = np.asarray(gs.gather_bilinear(banded1, px, py))
     np.testing.assert_allclose(got1, ref, atol=1e-6)
+
+
+def test_fused_sweep_taps_matches_per_level(rng):
+    """The fused [B,V,N,H,W] multi-level tap chain must reproduce the
+    per-(view, level) warp+corr path (same per-element operations, so
+    agreement is to f32 fusion noise)."""
+    from itermvs_tpu.ops.grid_sample import gather_corners
+    from itermvs_tpu.ops.warping import (
+        fused_sweep_taps, group_corr, pack_bilinear, relative_projection,
+        warp_corr_packed)
+
+    b, v, h, w, groups = 2, 3, 12, 16, 8
+    counts = (4, 4, 2)
+    # level sizes: level1 = 2x grid, level2 = grid, level3 = grid/2
+    src_hws = ((h * 2, w * 2), (h, w), (h // 2, w // 2))
+    chans = (16, 32, 48)
+    feats = [
+        [rng.rand(b, sh, sw, c).astype(np.float32)
+         for _ in range(v)]
+        for (sh, sw), c in zip(src_hws, chans)
+    ]
+    rel = []
+    for (sh, sw) in src_hws:
+        ref_p = np.stack([_random_camera(rng, sw, sh) for _ in range(b)])
+        srcs = np.stack(
+            [[_random_camera(rng, sw, sh, tz=0.1) for _ in range(v)]
+             for _ in range(b)])
+        rel.append(np.asarray(relative_projection(
+            jnp.asarray(srcs), jnp.asarray(ref_p[:, None]))))
+    rel = np.stack(rel, axis=2)                    # [B, V, L, 4, 4]
+    samples = rng.uniform(2.0, 8.0, (b, sum(counts), h, w)).astype(np.float32)
+    refs = [rng.rand(b, h, w, c).astype(np.float32) for c in chans]
+
+    packed = [[pack_bilinear(jnp.asarray(f)) for f in level] for level in feats]
+    level_of_sample = (0,) * 4 + (1,) * 4 + (2,) * 2
+    flat_idx, taps = fused_sweep_taps(
+        jnp.asarray(rel), jnp.asarray(samples), level_of_sample, src_hws,
+        jnp.float32)
+
+    off = 0
+    for li, n in enumerate(counts):
+        c = chans[li]
+        for vi in range(v):
+            want = warp_corr_packed(
+                packed[li][vi], jnp.asarray(refs[li]),
+                jnp.asarray(rel[:, vi, li]),
+                jnp.asarray(samples[:, off:off + n]), groups)
+            got = group_corr(
+                gather_corners(
+                    packed[li][vi],
+                    flat_idx[:, vi, off:off + n].reshape(b, -1),
+                    *[t[:, vi, off:off + n].reshape(b, -1) for t in taps],
+                ).reshape(b, n, h, w, c),
+                jnp.asarray(refs[li]), groups)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+        off += n
