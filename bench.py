@@ -18,9 +18,12 @@ bit-compared against the torch reference in tests.
     mask/PLY output flow, measured on this host on the identical scan
     (tools/bench_reference_fusion.py);
   * end-to-end quality: DTU-protocol scorer (acc/comp/overall,
-    benchmark/dtu_score.py) on the fused cloud vs the scene's analytic
-    plane GT — a synthetic stand-in for the 0.363 mm DTU overall
-    (README.md:91-93) while the real DTU eval set isn't mountable.
+    benchmark/dtu_score.py) on fused clouds from TWO synthetic scans —
+    a textured plane and a sphere+step scene with real occlusion —
+    against their analytic GT, aggregated ComputeStat_web.m-style
+    (dtu_score.aggregate): a synthetic stand-in for the 0.363 mm DTU
+    overall (README.md:91-93) while the real DTU eval set isn't
+    mountable.
 
 Weights: the released DTU checkpoint when the reference mount is
 present, else random init (throughput-identical; quality metric skipped).
@@ -110,45 +113,75 @@ def _throughput_cached(model, variables, width, height, views, iters=12):
     return iters / (time.perf_counter() - start)
 
 
-def _fusion_and_quality(forward, have_ckpt):
-    """Synthetic 7-view scan at 1600×1152: model depths → PFMs →
-    filter_depth (timed, 2nd run) → DTU-protocol score vs the plane."""
+def _run_scene(forward, scene, views, width, height, time_fusion):
+    """One synthetic scan: model depths → PFMs → filter_depth → fused
+    PLY. Returns (root_dir, ply_path, cams, analytic depths,
+    fusion_secs or None). Caller owns/removes root_dir."""
     import jax.numpy as jnp
-    from tests.synthetic_scene import build_scene_dir, Z0
+    from tests.synthetic_scene import build_scene_dir
     from itermvs_tpu.fusion import filter_depth
-    from itermvs_tpu.io import read_pair_file, read_camera_parameters, save_pfm
-    from itermvs_tpu.io import read_ply, write_ply
-    from itermvs_tpu.benchmark.dtu_score import score
+    from itermvs_tpu.io import save_pfm
     from itermvs_tpu.data import find_dataset_def
 
-    width, height, views = 1600, 1152, 7
     root = tempfile.mkdtemp(prefix="itermvs_bench_")
-    try:
-        build_scene_dir(root, num_views=views, width=width, height=height,
-                        write_gt_depth=False)
-        ds = find_dataset_def("custom")(root, n_views=views,
-                                        img_wh=(width, height))
-        os.makedirs(os.path.join(root, "depth_est"), exist_ok=True)
-        os.makedirs(os.path.join(root, "confidence"), exist_ok=True)
-        for i in range(len(ds)):
-            s = ds[i]
-            d, c = forward(
-                {k: jnp.asarray(v)[None] for k, v in s["imgs"].items()},
-                {k: jnp.asarray(v)[None] for k, v in s["proj_matrices"].items()},
-                jnp.asarray([s["depth_min"]]), jnp.asarray([s["depth_max"]]))
-            save_pfm(os.path.join(root, f"depth_est/{i:08d}.pfm"),
-                     np.asarray(d)[0, ..., 0].astype(np.float32))
-            save_pfm(os.path.join(root, f"confidence/{i:08d}.pfm"),
-                     np.asarray(c)[0, ..., 0].astype(np.float32))
+    cams, depths = build_scene_dir(root, num_views=views, width=width,
+                                   height=height, write_gt_depth=False,
+                                   scene=scene)
+    ds = find_dataset_def("custom")(root, n_views=views,
+                                    img_wh=(width, height))
+    os.makedirs(os.path.join(root, "depth_est"), exist_ok=True)
+    os.makedirs(os.path.join(root, "confidence"), exist_ok=True)
+    for i in range(len(ds)):
+        s = ds[i]
+        d, c = forward(
+            {k: jnp.asarray(v)[None] for k, v in s["imgs"].items()},
+            {k: jnp.asarray(v)[None] for k, v in s["proj_matrices"].items()},
+            jnp.asarray([s["depth_min"]]), jnp.asarray([s["depth_max"]]))
+        save_pfm(os.path.join(root, f"depth_est/{i:08d}.pfm"),
+                 np.asarray(d)[0, ..., 0].astype(np.float32))
+        save_pfm(os.path.join(root, f"confidence/{i:08d}.pfm"),
+                 np.asarray(c)[0, ..., 0].astype(np.float32))
 
-        ply = os.path.join(root, "fused.ply")
-        filter_depth(root, root, ply, 1.0, 0.01, 0.3, (width, height),
-                     geo_mask_thres=3, verbose=False)      # compile run
+    ply = os.path.join(root, "fused.ply")
+    _, fusion_secs = filter_depth(root, root, ply, 1.0, 0.01, 0.3,
+                                  (width, height), geo_mask_thres=3,
+                                  verbose=False)
+    if time_fusion:
+        # Second run is the timed one (first pays kernel compiles).
         _, fusion_secs = filter_depth(root, root, ply, 1.0, 0.01, 0.3,
                                       (width, height), geo_mask_thres=3,
                                       verbose=False)
+    return root, ply, cams, depths, fusion_secs
 
-        overall = None
+
+def _fusion_and_quality(forward, have_ckpt, size=(1600, 1152), views=7):
+    """Two synthetic 7-view scans at 1600×1152 through the full
+    inference → fusion → DTU-protocol-scorer chain:
+
+      * "plane" — fusion timing (2nd run) + overall vs the analytic
+        plane (the round-1/2 continuity metric);
+      * "sphere_step" — occlusion + curvature + depth discontinuity,
+        scored vs the analytic visible-surface cloud (same shapes as
+        the plane scan, so every compiled program is reused).
+
+    Per-scan scores are combined by benchmark/dtu_score.py:aggregate —
+    the ComputeStat_web.m mean-over-scans that produces the published
+    DTU table numbers (reference evaluations/dtu/ComputeStat_web.m).
+
+    Returns (fusion_secs, {plane, sphere_step, multi_scene} overall mm
+    or None without the checkpoint — random weights score nothing).
+    """
+    from tests.synthetic_scene import Z0, gt_point_cloud
+    from itermvs_tpu.io import read_ply, write_ply
+    from itermvs_tpu.benchmark.dtu_score import score, aggregate
+
+    width, height = size
+    roots = []
+    try:
+        root, ply, cams, depths, fusion_secs = _run_scene(
+            forward, "plane", views, width, height, time_fusion=True)
+        roots.append(root)
+        quality = None
         if have_ckpt:
             xyz, _ = read_ply(ply)
             lo = np.percentile(xyz[:, :2], 2, axis=0)
@@ -159,11 +192,27 @@ def _fusion_and_quality(forward, have_ckpt):
                            np.full(gx.size, Z0)], axis=1).astype(np.float32)
             gt_ply = os.path.join(root, "gt_plane.ply")
             write_ply(gt_ply, gt, np.zeros_like(gt, dtype=np.uint8))
-            result = score(ply, gt_ply, density=0.02, max_dist=1.0)
-            overall = result["overall_mm"]
-        return fusion_secs, overall
+            plane_score = score(ply, gt_ply, density=0.02, max_dist=1.0)
+
+            root2, ply2, cams2, depths2, _ = _run_scene(
+                forward, "sphere_step", views, width, height,
+                time_fusion=False)
+            roots.append(root2)
+            gt2 = gt_point_cloud(cams2, depths2, stride=2)
+            gt2_ply = os.path.join(root2, "gt_sphere.ply")
+            write_ply(gt2_ply, gt2, np.zeros_like(gt2, dtype=np.uint8))
+            sphere_score = score(ply2, gt2_ply, density=0.02, max_dist=1.0)
+
+            agg = aggregate([plane_score, sphere_score])
+            quality = {
+                "plane": plane_score["overall_mm"],
+                "sphere_step": sphere_score["overall_mm"],
+                "multi_scene": agg["overall_mm"],
+            }
+        return fusion_secs, quality
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
 
 
 def main():
@@ -194,7 +243,7 @@ def main():
 
     maps_paper = _throughput(forward, 1152, 864, views=5)
     maps_eval = _throughput(forward, 1600, 1152, views=5, iters=8)
-    fusion_secs, overall = _fusion_and_quality(forward, have_ckpt)
+    fusion_secs, quality = _fusion_and_quality(forward, have_ckpt)
 
     maps_paper_cached = _throughput_cached(model, variables, 1152, 864, 5)
     maps_eval_cached = _throughput_cached(model, variables, 1600, 1152, 5,
@@ -212,8 +261,12 @@ def main():
         "fusion_vs_reference_cpu": round(
             BASELINE_FUSION_SEC_PER_SCENE / fusion_secs, 2),
     }
-    if overall is not None:
-        extra["synthetic_scene_overall_mm"] = round(float(overall), 5)
+    if quality is not None:
+        extra["synthetic_scene_overall_mm"] = round(float(quality["plane"]), 5)
+        extra["synthetic_sphere_overall_mm"] = round(
+            float(quality["sphere_step"]), 5)
+        extra["synthetic_multi_scene_overall_mm"] = round(
+            float(quality["multi_scene"]), 5)
 
     print(json.dumps({
         "metric": "DTU depth maps/sec/chip (1152x864, N=5, iter=4, bf16)",
