@@ -48,30 +48,50 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
         lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
 
 
-# Environment markers of a multi-process launch. When none is present the
-# run is single-process and distributed init is skipped; when one IS
-# present, jax.distributed.initialize() must succeed — a silent fallback
-# would train N independent copies with the wrong global batch.
-_MULTIHOST_ENV_VARS = (
+# Environment markers of a multi-process launch, checked by VALUE, not
+# mere presence: TPU runtimes set TPU_WORKER_HOSTNAMES=localhost and
+# SLURM sets SLURM_NTASKS=1 for plain single-process runs too, and a
+# presence-only check would send those into jax.distributed.initialize()
+# with no coordinator — a hard crash on every single-host training run.
+# When a marker DOES indicate >1 process, initialize() must succeed — a
+# silent fallback would train N independent copies with the wrong
+# global batch.
+_COORDINATOR_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
-    "JAX_NUM_PROCESSES",
-    "JAX_PROCESS_ID",
     "MEGASCALE_COORDINATOR_ADDRESS",
+)
+_PROCESS_COUNT_ENV_VARS = (
+    "JAX_NUM_PROCESSES",
     "SLURM_NTASKS",
     "OMPI_COMM_WORLD_SIZE",
-    "TPU_WORKER_HOSTNAMES",
 )
+
+
+def _multihost_markers() -> list[str]:
+    """Env vars whose VALUES indicate a multi-process launch."""
+    markers = [v for v in _COORDINATOR_ENV_VARS if os.environ.get(v)]
+    for v in _PROCESS_COUNT_ENV_VARS:
+        val = os.environ.get(v, "").strip()
+        if val.isdigit() and int(val) > 1:
+            markers.append(v)
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        markers.append("TPU_WORKER_HOSTNAMES")
+    return markers
 
 
 def initialize_distributed(mode: str = "auto") -> bool:
     """Multi-host DCN init; returns True if a multi-process job was joined.
 
     mode:
-      "auto" — initialize iff a launcher/coordinator environment is
-        detected via _MULTIHOST_ENV_VARS (plain single-process runs
-        skip). The allowlist is a heuristic: a launcher using none of
-        those variables must pass --distributed on.
+      "auto" — initialize iff the environment indicates MORE THAN ONE
+        process (_multihost_markers: a coordinator address, a process
+        count > 1, or ≥2 TPU worker hostnames); plain single-process
+        runs skip, including on hosts whose TPU runtime exports
+        single-worker values (TPU_WORKER_HOSTNAMES=localhost). The
+        marker list is a heuristic: a launcher using none of those
+        variables must pass --distributed on.
       "on"   — always call jax.distributed.initialize(); with no
         coordinator configured this fails loudly rather than silently
         training N independent copies.
@@ -85,7 +105,7 @@ def initialize_distributed(mode: str = "auto") -> bool:
     if mode == "off":
         return False
     if mode == "auto":
-        present = [v for v in _MULTIHOST_ENV_VARS if os.environ.get(v)]
+        present = _multihost_markers()
         if not present:
             return False
         print(f"multi-host launch detected ({', '.join(present)}); "

@@ -167,16 +167,26 @@ def test_val_partial_batch_padded_on_mesh(setup):
 
 def test_distributed_flag_contract(monkeypatch):
     """--distributed off never initializes; on without a coordinator
-    fails loudly; auto skips when no launcher env is present."""
+    fails loudly; auto skips when no launcher env is present AND when
+    markers carry single-process values (TPU_WORKER_HOSTNAMES=localhost
+    is exported on single-chip hosts — a presence-only check crashed
+    every single-host train run there)."""
     from itermvs_tpu.parallel import mesh as pmesh
 
     calls = []
     monkeypatch.setattr(pmesh.jax.distributed, "initialize",
                         lambda *a, **k: calls.append(1))
-    for var in pmesh._MULTIHOST_ENV_VARS:
+    for var in (pmesh._COORDINATOR_ENV_VARS
+                + pmesh._PROCESS_COUNT_ENV_VARS
+                + ("TPU_WORKER_HOSTNAMES",)):
         monkeypatch.delenv(var, raising=False)
 
     assert pmesh.initialize_distributed("off") is False
+    assert pmesh.initialize_distributed("auto") is False
+
+    # Single-process marker VALUES must not trigger auto init.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
     assert pmesh.initialize_distributed("auto") is False
     assert not calls
 
@@ -185,8 +195,15 @@ def test_distributed_flag_contract(monkeypatch):
     assert calls == [1]
     monkeypatch.delenv("JAX_NUM_PROCESSES")
 
-    assert pmesh.initialize_distributed("on") is True
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert pmesh.initialize_distributed("auto") is True
     assert calls == [1, 1]
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.delenv("SLURM_NTASKS")
+    calls.clear()
+
+    assert pmesh.initialize_distributed("on") is True
+    assert calls == [1]
 
     def boom(*a, **k):
         raise RuntimeError("no coordinator configured")

@@ -255,6 +255,20 @@ def main():
 
     def run_validation(epoch_idx, global_step):
         meter = DictAverageMeter()
+
+        def drain(batch_idx, device_scalars):
+            # float() is the device sync point — by the time we block
+            # here the NEXT batch's val_step is already dispatched, so
+            # the device computes through the fetch (same one-deep
+            # pipeline as eval.py's dispatch/finalize).
+            scalars = {k: float(v) for k, v in device_scalars.items()}
+            meter.update(scalars)
+            if batch_idx % 100 == 0:
+                print(f"Epoch {epoch_idx}/{args.epochs}, "
+                      f"Iter {batch_idx}/{len(val_loader)}, "
+                      f"test loss = {scalars['loss']:.3f}")
+
+        pending = None
         for batch_idx, sample in enumerate(val_loader):
             # The final batch can be short (drop_last=False); pad it to
             # the full batch size with mask-zeroed samples so the batch
@@ -263,13 +277,12 @@ def main():
             # loss or metrics (see pad_batch).
             sample, _ = pad_batch(sample, args.batch_size)
             batch = to_device_batch(sample, mesh)
-            scalars = val_step(state.params, state.batch_stats, batch)
-            scalars = {k: float(v) for k, v in scalars.items()}
-            meter.update(scalars)
-            if batch_idx % 100 == 0:
-                print(f"Epoch {epoch_idx}/{args.epochs}, "
-                      f"Iter {batch_idx}/{len(val_loader)}, "
-                      f"test loss = {scalars['loss']:.3f}")
+            launched = val_step(state.params, state.batch_stats, batch)
+            if pending is not None:
+                drain(*pending)
+            pending = (batch_idx, launched)
+        if pending is not None:
+            drain(*pending)
         means = meter.mean()
         if logger is not None:
             logger.save_scalars("fulltest", means, global_step)
