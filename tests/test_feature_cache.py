@@ -78,6 +78,45 @@ def test_extract_match_equals_forward(small_setup):
             f"{key} (packed): max diff {np.abs(a - b).max()}")
 
 
+def test_prepacked_banded_sources(small_setup, monkeypatch):
+    """Pre-packed sources whose level-1 tables exceed the fast-gather
+    row limit arrive as BandedSource pytrees (the DTU eval-resolution
+    case: 1600×1152 level-1 tables band, level-2/3 stay flat). The
+    mixed Packed/Banded pytree must cross the prepack→cache→match jit
+    boundaries and reproduce the monolithic forward."""
+    import sys
+
+    import itermvs_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["itermvs_tpu.ops.grid_sample"]
+
+    model, variables, imgs, projs, dmin, dmax = small_setup
+    ref = model.apply(variables, imgs, projs, dmin, dmax)
+
+    v = imgs["level_0"].shape[1]
+    per_view = [model.apply(variables, imgs["level_0"][:, i],
+                            method=Pipeline.extract) for i in range(v)]
+
+    # level1 at 96×128 is 48·64 = 3072 rows → bands; level2 (768) and
+    # level3 (192) stay under the limit → PackedSource. Mirrors the
+    # real mixed case at eval resolution.
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 1000)
+    from itermvs_tpu.ops.warping import pack_bilinear
+    prepack = jax.jit(lambda f: {k: pack_bilinear(x) for k, x in f.items()})
+    packed_views = [prepack(f) for f in per_view[1:]]
+    assert isinstance(packed_views[0]["level1"], gs.BandedSource)
+    assert isinstance(packed_views[0]["level2"], gs.PackedSource)
+
+    match = jax.jit(lambda f, p, lo, hi: model.apply(
+        variables, f, p, lo, hi, method=Pipeline.match))
+    out = match((per_view[0], *packed_views), projs, dmin, dmax)
+
+    for key in ("depths_upsampled", "confidence_upsampled"):
+        a = np.asarray(ref[key])
+        b = np.asarray(out[key])
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-5), (
+            f"{key} (banded prepack): max diff {np.abs(a - b).max()}")
+
+
 def test_eval_datasets_expose_view_ids(tmp_path):
     from tests.synthetic_scene import build_scene_dir
     from itermvs_tpu.data import find_dataset_def
