@@ -59,6 +59,15 @@ parser.add_argument("--feature_cache", default="auto",
                          "auto = on for single-device batch-1 eval")
 parser.add_argument("--feature_cache_views", type=int, default=16,
                     help="LRU capacity (views) of the feature cache")
+parser.add_argument("--scan_shard", default=None, metavar="I/N",
+                    help="process only every N-th scan starting at I "
+                         "(0-based), e.g. 0/4 .. 3/4: scan-level "
+                         "parallelism across independent eval processes "
+                         "(one per host/chip). Each process writes its "
+                         "own scans' depth maps and fused PLYs, so N "
+                         "processes scale scan throughput ~linearly — "
+                         "and, unlike batched DP, each keeps the "
+                         "feature cache and per-chip batch-1 fast path")
 parser.add_argument("--geo_pixel_thres", type=float, default=1,
                     help="pixel threshold for geometric consistency filtering")
 parser.add_argument("--geo_depth_thres", type=float, default=0.01,
@@ -90,6 +99,48 @@ def resolve_img_wh(args):
     return (args.img_wh[0], args.img_wh[1])
 
 
+def parse_scan_shard(spec):
+    """'I/N' → (I, N), validated."""
+    if spec is None:
+        return None
+    try:
+        idx, count = (int(p) for p in spec.split("/"))
+    except ValueError:
+        raise SystemExit(f"--scan_shard must be I/N, got {spec!r}")
+    if count < 1 or not 0 <= idx < count:
+        raise SystemExit(f"--scan_shard needs 0 <= I < N, got {spec!r}")
+    return idx, count
+
+
+def shard_scans(scans, shard):
+    """Deterministic round-robin slice of an ordered scan list."""
+    if shard is None:
+        return list(scans)
+    idx, count = shard
+    return list(scans)[idx::count]
+
+
+def apply_scan_shard(dataset, shard):
+    """Filter a dataset's metas to this shard's scans, in place.
+
+    Scan-keyed eval datasets (dtu_yao_eval/tanks/eth3d/blendedmvs) carry
+    the scan as metas[i][0]; round-robin over the first-appearance scan
+    order. Single-scan datasets (custom) run wholly on shard 0.
+    """
+    if shard is None:
+        return dataset
+    metas = dataset.metas
+    scan_keyed = bool(metas) and isinstance(metas[0][0], str)
+    if not scan_keyed:
+        if shard[0] != 0:
+            dataset.metas = []
+        return dataset
+    order = list(dict.fromkeys(m[0] for m in metas))
+    keep = set(shard_scans(order, shard))
+    dataset.metas = [m for m in metas if m[0] in keep]
+    return dataset
+
+
 def build_dataset(args, img_wh):
     MVSDataset = find_dataset_def(args.dataset)
     if args.dataset == "dtu_yao_eval":
@@ -111,7 +162,8 @@ def _write_outputs(outdir, filename, depth_est, confidence):
 
 
 def save_depth(args, img_wh):
-    dataset = build_dataset(args, img_wh)
+    dataset = apply_scan_shard(build_dataset(args, img_wh),
+                               parse_scan_shard(args.scan_shard))
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=4,
                         drop_last=False)
 
@@ -264,10 +316,11 @@ def save_depth(args, img_wh):
 
 def run_fusion(args, img_wh):
     timings = []
+    shard = parse_scan_shard(args.scan_shard)
     if args.dataset == "dtu_yao_eval":
         with open(args.testlist) as f:
             scans = [line.rstrip() for line in f if line.strip()]
-        for scan in scans:
+        for scan in shard_scans(scans, shard):
             scan_id = int(scan[4:])
             _, secs = filter_depth(
                 os.path.join(args.testpath, scan),
@@ -279,7 +332,7 @@ def run_fusion(args, img_wh):
     elif args.dataset == "tanks":
         thres = (TANKS_INTERMEDIATE_THRES if args.split == "intermediate"
                  else TANKS_ADVANCED_THRES)
-        for scan, gm in thres.items():
+        for scan, gm in shard_scans(thres.items(), shard):
             _, secs = filter_depth(
                 os.path.join(args.testpath, args.split, scan),
                 os.path.join(args.outdir, scan),
@@ -289,7 +342,7 @@ def run_fusion(args, img_wh):
             timings.append((scan, secs))
     elif args.dataset == "eth3d":
         thres = ETH3D_TEST_THRES if args.split == "test" else ETH3D_TRAIN_THRES
-        for scan, gm in thres.items():
+        for scan, gm in shard_scans(thres.items(), shard):
             _, secs = filter_depth(
                 os.path.join(args.testpath, scan),
                 os.path.join(args.outdir, scan),
@@ -298,7 +351,8 @@ def run_fusion(args, img_wh):
                 args.photo_thres, img_wh, gm, display=args.display)
             print(f"scan: {scan} time = {secs:3f}")
             timings.append((scan, secs))
-    else:
+    elif shard is None or shard[0] == 0:
+        # Single-scan custom dataset: the whole scan belongs to shard 0.
         _, secs = filter_depth(
             args.testpath, args.outdir,
             os.path.join(args.outdir, "custom.ply"),

@@ -124,3 +124,44 @@ def test_blendedmvs_loader(tmp_path):
     ds5 = find_dataset_def("blendedmvs")(root, listfile, "val", 5,
                                          img_wh=(96, 64), robust_train=False)
     assert len(ds5) == 0
+
+
+def test_scan_shard_helpers():
+    """--scan_shard round-robins scan-keyed metas and pins single-scan
+    datasets to shard 0; every scan lands on exactly one shard."""
+    import pytest
+
+    from eval import apply_scan_shard, parse_scan_shard, shard_scans
+
+    assert parse_scan_shard(None) is None
+    assert parse_scan_shard("2/4") == (2, 4)
+    for bad in ("4/4", "-1/2", "x/2", "2"):
+        with pytest.raises(SystemExit):
+            parse_scan_shard(bad)
+
+    scans = [f"scan{i}" for i in range(7)]
+    pieces = [shard_scans(scans, (i, 3)) for i in range(3)]
+    assert sorted(s for p in pieces for s in p) == sorted(scans)
+    assert pieces[0] == ["scan0", "scan3", "scan6"]
+
+    class FakeDS:
+        def __init__(self, metas):
+            self.metas = metas
+
+    # Scan-keyed metas (dtu_yao_eval/tanks/eth3d shape).
+    metas = [(s, ref, [1, 2]) for s in scans for ref in range(3)]
+    covered = []
+    for i in range(3):
+        ds = apply_scan_shard(FakeDS(list(metas)), (i, 3))
+        covered += [m[0] for m in ds.metas]
+        # whole scans move together
+        for s in set(m[0] for m in ds.metas):
+            assert sum(1 for m in ds.metas if m[0] == s) == 3
+    assert sorted(set(covered)) == sorted(scans)
+    assert len(covered) == len(metas)
+
+    # Single-scan metas (custom shape): shard 0 keeps all, others none.
+    single = [(ref, [1, 2]) for ref in range(4)]
+    assert apply_scan_shard(FakeDS(list(single)), (0, 2)).metas == single
+    assert apply_scan_shard(FakeDS(list(single)), (1, 2)).metas == []
+    assert apply_scan_shard(FakeDS(list(single)), None).metas == single
