@@ -2,31 +2,46 @@
 
 Primary metric (BASELINE.json): DTU depth-map inference throughput per
 chip at the paper's eval resolution 1152×864, N=5 views, iteration=4,
-bfloat16 compute — the production TPU path (convs/features/gather
-tables bf16; geometry, 256-bin softmax, depth readout and heads
-float32). bf16 depth maps are quality-equivalent to float32 (see
-tools/bf16_check.py); float32 remains eval.py's default and is
-bit-compared against the torch reference in tests.
+bfloat16 compute — the monolithic test-mode forward (all V feature maps
+recomputed per reference view, like the reference eval loop). bf16
+depth maps are quality-equivalent to float32 (see tools/bf16_check.py);
+float32 remains eval.py's default precision and is parity-tested
+against the torch reference in tests (median relative depth error
+< 1e-3, tests/test_model_parity.py).
 
 `extra` carries the remaining north stars measured in the same run:
+  * feature-cached maps/sec (eval.py's default pipeline: per-(scan,view)
+    LRU of features + pre-packed gather tables, ~1 new view per map on
+    DTU pair topology) at 1152×864 and 1600×1152;
   * maps/sec at the repo's own DTU eval resolution 1600×1152
     (reference eval.py:47);
   * fusion sec/scene: itermvs_tpu.fusion.filter_depth on a synthetic
-    7-view scan at 1600×1152 (depths predicted by the model), second
-    run (first run pays kernel compiles). Baseline 179.6 s/scene is the
+    7-view scan at 1600×1152 (depths predicted by the model at N=5,
+    reusing the throughput stage's compiled program; fusion fuses the
+    full 7-view pair topology), ONE run timed exactly as it executes
+    here — compile/caches included, no "clean window" assumptions. Baseline 179.6 s/scene is the
     reference's NumPy/cv2 fusion loop (eval.py:212-309) incl. the same
     mask/PLY output flow, measured on this host on the identical scan
     (tools/bench_reference_fusion.py);
   * end-to-end quality: DTU-protocol scorer (acc/comp/overall,
-    benchmark/dtu_score.py) on fused clouds from TWO synthetic scans —
-    a textured plane and a sphere+step scene with real occlusion —
-    against their analytic GT, aggregated ComputeStat_web.m-style
-    (dtu_score.aggregate): a synthetic stand-in for the 0.363 mm DTU
-    overall (README.md:91-93) while the real DTU eval set isn't
-    mountable.
+    benchmark/dtu_score.py) on the fused clouds against analytic GT —
+    a plane scan (rounds-1..3 continuity metric) plus, budget
+    permitting, a sphere+step scan with real occlusion, aggregated
+    ComputeStat_web.m-style. NN queries are subsampled (query_cap) —
+    an unbiased estimate of the same per-point-mean metric, sized for
+    this single-core host.
 
-Weights: the released DTU checkpoint when the reference mount is
-present, else random init (throughput-identical; quality metric skipped).
+Budget guard: the whole run targets ITERMVS_BENCH_BUDGET seconds
+(default 600). Optional stages are skipped when the remaining budget
+can't cover their estimated cost (recorded as `<stage>_skipped`), a
+SIGALRM fires shortly before the budget to flush the JSON line, and a
+SIGTERM handler does the same if an external timeout fires first.
+Exactly ONE JSON line is printed either way.
+
+Weights: the released DTU checkpoint — the vendored conversion under
+checkpoints/dtu/model_000015.npz, falling back to the reference mount's
+torch pickle — else random init (throughput-identical; quality metric
+then skipped).
 
 Throughput baseline: the IterMVS paper (arXiv 2112.05126, Tab. 4)
 reports 0.17 s per view at 1152×864 on an RTX 2080Ti — 5.88 maps/sec.
@@ -39,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import tempfile
 import time
 
@@ -52,14 +68,55 @@ BASELINE_MAPS_PER_SEC = 1.0 / 0.17
 BASELINE_FUSION_SEC_PER_SCENE = 179.6
 BASELINE_DTU_OVERALL_MM = 0.363
 
-CKPT = "/root/reference/checkpoints/dtu/model_000015.ckpt"
+BUDGET_SEC = float(os.environ.get("ITERMVS_BENCH_BUDGET", "900"))
+_START = time.monotonic()
+_DEADLINE = _START + BUDGET_SEC
+
+# The one JSON line, updated in place after every stage and printed
+# exactly once — at normal completion, or early from a signal handler.
+RESULT = {
+    "metric": "DTU depth maps/sec/chip (1152x864, N=5, iter=4, bf16)",
+    "value": None,
+    "unit": "maps/sec",
+    "vs_baseline": None,
+    "extra": {},
+}
+_EMITTED = False
+
+
+def _emit_and_exit(signum, frame):  # pragma: no cover - signal path
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        RESULT["extra"]["terminated_by"] = (
+            "budget_alarm" if signum == signal.SIGALRM else f"signal_{signum}")
+        RESULT["extra"]["elapsed_sec"] = round(time.monotonic() - _START, 1)
+        print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _bench_inputs(batch, views, height, width):
+    """Example inputs in the exact form eval.py uploads per map:
+    imgs = {"level_0": uint8} (the model consumes only level_0 and
+    normalizes uint8 on device, models/pipeline.py:_normalize); levels
+    1-3 images are never uploaded by the eval driver."""
+    import jax.numpy as jnp
+    from __graft_entry__ import _example_inputs
+
+    imgs, projs, dmin, dmax = _example_inputs(batch, views, height, width)
+    u8 = np.clip((np.asarray(imgs["level_0"]) + 1.0) * 127.5, 0, 255)
+    return ({"level_0": jnp.asarray(np.round(u8).astype(np.uint8))},
+            projs, dmin, dmax)
 
 
 def _throughput(forward, width, height, views, iters=12):
     import jax
-    from __graft_entry__ import _example_inputs
 
-    imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
+    imgs, projs, dmin, dmax = _bench_inputs(1, views, height, width)
     d, c = forward(imgs, projs, dmin, dmax)   # warmup / compile
     jax.block_until_ready((d, c))
     start = time.perf_counter()
@@ -72,19 +129,17 @@ def _throughput(forward, width, height, views, iters=12):
 def _throughput_cached(model, variables, width, height, views, iters=12):
     """Steady-state maps/sec of the feature-cached eval pipeline.
 
-    Models the eval.py --feature_cache inner loop on scan topology where
+    Models the eval.py feature-cache inner loop on scan topology where
     each new reference view introduces ~one unseen source image (DTU
     pair lists are neighborhood-local): per map, ONE batch-1 FeatureNet
-    extraction + feature stack + match. The uncached forward instead
+    extraction + table pre-pack + match. The uncached forward instead
     recomputes all `views` feature maps per map.
     """
     import jax
-    import jax.numpy as jnp
     from itermvs_tpu.models import Pipeline
     from itermvs_tpu.ops.warping import pack_bilinear
-    from __graft_entry__ import _example_inputs
 
-    imgs, projs, dmin, dmax = _example_inputs(1, views, height, width)
+    imgs, projs, dmin, dmax = _bench_inputs(1, views, height, width)
     extract = jax.jit(lambda x: model.apply(variables, x,
                                             method=Pipeline.extract))
     prepack = jax.jit(lambda f: {k: pack_bilinear(v) for k, v in f.items()})
@@ -113,10 +168,17 @@ def _throughput_cached(model, variables, width, height, views, iters=12):
     return iters / (time.perf_counter() - start)
 
 
-def _run_scene(forward, scene, views, width, height, time_fusion):
+def _run_scene(forward, scene, views, width, height, n_views=5):
     """One synthetic scan: model depths → PFMs → filter_depth → fused
     PLY. Returns (root_dir, ply_path, cams, analytic depths,
-    fusion_secs or None). Caller owns/removes root_dir."""
+    fusion_secs). Caller owns/removes root_dir.
+
+    Depths are predicted at `n_views` (default 5 — reusing the exact
+    program the throughput stage already compiled; a cold compile of a
+    7-view signature costs minutes on this host). Fusion itself always
+    runs over the scan's full pair topology (`views` source views per
+    ref, read from pair.txt), so the fusion timing is a true
+    `views`-view measurement regardless of n_views."""
     import jax.numpy as jnp
     from tests.synthetic_scene import build_scene_dir
     from itermvs_tpu.fusion import filter_depth
@@ -127,14 +189,15 @@ def _run_scene(forward, scene, views, width, height, time_fusion):
     cams, depths = build_scene_dir(root, num_views=views, width=width,
                                    height=height, write_gt_depth=False,
                                    scene=scene)
-    ds = find_dataset_def("custom")(root, n_views=views,
-                                    img_wh=(width, height))
+    ds = find_dataset_def("custom")(root, n_views=n_views,
+                                    img_wh=(width, height),
+                                    uint8_level0=True)
     os.makedirs(os.path.join(root, "depth_est"), exist_ok=True)
     os.makedirs(os.path.join(root, "confidence"), exist_ok=True)
     for i in range(len(ds)):
         s = ds[i]
         d, c = forward(
-            {k: jnp.asarray(v)[None] for k, v in s["imgs"].items()},
+            {"level_0": jnp.asarray(s["imgs"]["level_0"])[None]},
             {k: jnp.asarray(v)[None] for k, v in s["proj_matrices"].items()},
             jnp.asarray([s["depth_min"]]), jnp.asarray([s["depth_max"]]))
         save_pfm(os.path.join(root, f"depth_est/{i:08d}.pfm"),
@@ -143,79 +206,60 @@ def _run_scene(forward, scene, views, width, height, time_fusion):
                  np.asarray(c)[0, ..., 0].astype(np.float32))
 
     ply = os.path.join(root, "fused.ply")
+    # ONE run, timed as-is: this is exactly the cost a user pays per
+    # scan in this process state (kernel compiles amortize across a
+    # 22-scan DTU eval but are honestly part of a cold start; see
+    # docs/PERFORMANCE.md "Fusion host tail" for the breakdown).
     _, fusion_secs = filter_depth(root, root, ply, 1.0, 0.01, 0.3,
                                   (width, height), geo_mask_thres=3,
                                   verbose=False)
-    if time_fusion:
-        # Second run is the timed one (first pays kernel compiles).
-        _, fusion_secs = filter_depth(root, root, ply, 1.0, 0.01, 0.3,
-                                      (width, height), geo_mask_thres=3,
-                                      verbose=False)
     return root, ply, cams, depths, fusion_secs
 
 
-def _fusion_and_quality(forward, have_ckpt, size=(1600, 1152), views=7):
-    """Two synthetic 7-view scans at 1600×1152 through the full
-    inference → fusion → DTU-protocol-scorer chain:
+QUERY_CAP = 600_000   # NN-query subsample per direction (see dtu_score)
 
-      * "plane" — fusion timing (2nd run) + overall vs the analytic
-        plane (the round-1/2 continuity metric);
-      * "sphere_step" — occlusion + curvature + depth discontinuity,
-        scored vs the analytic visible-surface cloud (same shapes as
-        the plane scan, so every compiled program is reused).
 
-    Per-scan scores are combined by benchmark/dtu_score.py:aggregate —
-    the ComputeStat_web.m mean-over-scans that produces the published
-    DTU table numbers (reference evaluations/dtu/ComputeStat_web.m).
-
-    Returns (fusion_secs, {plane, sphere_step, multi_scene} overall mm
-    or None without the checkpoint — random weights score nothing).
-    """
-    from tests.synthetic_scene import Z0, gt_point_cloud
+def _score_plane(root, ply):
+    from tests.synthetic_scene import Z0
     from itermvs_tpu.io import read_ply, write_ply
-    from itermvs_tpu.benchmark.dtu_score import score, aggregate
+    from itermvs_tpu.benchmark.dtu_score import score
 
-    width, height = size
-    roots = []
-    try:
-        root, ply, cams, depths, fusion_secs = _run_scene(
-            forward, "plane", views, width, height, time_fusion=True)
-        roots.append(root)
-        quality = None
-        if have_ckpt:
-            xyz, _ = read_ply(ply)
-            lo = np.percentile(xyz[:, :2], 2, axis=0)
-            hi = np.percentile(xyz[:, :2], 98, axis=0)
-            gx, gy = np.meshgrid(np.arange(lo[0], hi[0], 0.02),
-                                 np.arange(lo[1], hi[1], 0.02))
-            gt = np.stack([gx.ravel(), gy.ravel(),
-                           np.full(gx.size, Z0)], axis=1).astype(np.float32)
-            gt_ply = os.path.join(root, "gt_plane.ply")
-            write_ply(gt_ply, gt, np.zeros_like(gt, dtype=np.uint8))
-            plane_score = score(ply, gt_ply, density=0.02, max_dist=1.0)
+    xyz, _ = read_ply(ply)
+    lo = np.percentile(xyz[:, :2], 2, axis=0)
+    hi = np.percentile(xyz[:, :2], 98, axis=0)
+    gx, gy = np.meshgrid(np.arange(lo[0], hi[0], 0.02),
+                         np.arange(lo[1], hi[1], 0.02))
+    gt = np.stack([gx.ravel(), gy.ravel(),
+                   np.full(gx.size, Z0)], axis=1).astype(np.float32)
+    gt_ply = os.path.join(root, "gt_plane.ply")
+    write_ply(gt_ply, gt, np.zeros_like(gt, dtype=np.uint8))
+    return score(ply, gt_ply, density=0.02, max_dist=1.0,
+                 query_cap=QUERY_CAP)
 
-            root2, ply2, cams2, depths2, _ = _run_scene(
-                forward, "sphere_step", views, width, height,
-                time_fusion=False)
-            roots.append(root2)
-            gt2 = gt_point_cloud(cams2, depths2, stride=2)
-            gt2_ply = os.path.join(root2, "gt_sphere.ply")
-            write_ply(gt2_ply, gt2, np.zeros_like(gt2, dtype=np.uint8))
-            sphere_score = score(ply2, gt2_ply, density=0.02, max_dist=1.0)
 
-            agg = aggregate([plane_score, sphere_score])
-            quality = {
-                "plane": plane_score["overall_mm"],
-                "sphere_step": sphere_score["overall_mm"],
-                "multi_scene": agg["overall_mm"],
-            }
-        return fusion_secs, quality
-    finally:
-        for r in roots:
-            shutil.rmtree(r, ignore_errors=True)
+def _score_sphere(forward, views, width, height, roots):
+    from tests.synthetic_scene import gt_point_cloud
+    from itermvs_tpu.io import write_ply
+    from itermvs_tpu.benchmark.dtu_score import score
+
+    root2, ply2, cams2, depths2, _ = _run_scene(
+        forward, "sphere_step", views, width, height)
+    roots.append(root2)
+    gt2 = gt_point_cloud(cams2, depths2, stride=2)
+    gt2_ply = os.path.join(root2, "gt_sphere.ply")
+    write_ply(gt2_ply, gt2, np.zeros_like(gt2, dtype=np.uint8))
+    return score(ply2, gt2_ply, density=0.02, max_dist=1.0,
+                 query_cap=QUERY_CAP)
 
 
 def main():
+    global _EMITTED
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    # Flush the line ~15 s before the budget even if a stage is stuck in
+    # a long C call (the alarm is then delivered when it returns).
+    signal.alarm(max(int(BUDGET_SEC - 15), 30))
+
     import jax
     import jax.numpy as jnp
     from itermvs_tpu.models import Pipeline
@@ -223,78 +267,109 @@ def main():
     from __graft_entry__ import _example_inputs
 
     enable_persistent_cache()
+    extra = RESULT["extra"]
 
     model = Pipeline(iteration=4, test=True, dtype=jnp.bfloat16)
-    have_ckpt = os.path.exists(CKPT)
-    if have_ckpt:
-        from itermvs_tpu.engine.torch_import import import_torch_checkpoint
+    from itermvs_tpu.engine.checkpoint import load_variables, pretrained_path
 
-        variables = import_torch_checkpoint(CKPT)
+    ckpt = pretrained_path("dtu")
+    if ckpt is not None:
+        variables = load_variables(ckpt)
+        have_ckpt = True
     else:
         # Fully-convolutional model: parameters are resolution-independent,
         # so init at a tiny shape (skips a full-size init compile).
         imgs, projs, dmin, dmax = _example_inputs(1, 5, 96, 128)
         variables = model.init(jax.random.PRNGKey(0), imgs, projs, dmin, dmax)
+        have_ckpt = False
 
     @jax.jit
     def forward(imgs, projs, dmin, dmax):
         out = model.apply(variables, imgs, projs, dmin, dmax)
         return out["depths_upsampled"], out["confidence_upsampled"]
 
-    maps_paper = _throughput(forward, 1152, 864, views=5)
-    maps_eval = _throughput(forward, 1600, 1152, views=5, iters=8)
-    # The primary metric must come out even if a secondary stage dies
-    # (transient device/host hiccups over a multi-minute run): record
-    # the failure in `extra` instead of losing the whole line.
-    extra = {
-        "maps_per_sec_1600x1152": round(maps_eval, 3),
-        "maps_per_sec_1600x1152_vs_baseline": round(
-            maps_eval / BASELINE_MAPS_PER_SEC, 3),
-    }
-
-    def stage(name, fn):
+    def stage(name, est_sec, fn):
+        """Run an optional stage if the remaining budget covers it."""
+        if _remaining() < est_sec:
+            extra[f"{name}_skipped"] = "budget"
+            return None
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — reported, not swallowed
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
             return None
 
-    fq = stage("fusion", lambda: _fusion_and_quality(forward, have_ckpt))
-    if fq is not None:
-        fusion_secs, quality = fq
-        extra["fusion_sec_per_scene_7view_1600x1152"] = round(fusion_secs, 3)
-        extra["fusion_vs_reference_cpu"] = round(
-            BASELINE_FUSION_SEC_PER_SCENE / fusion_secs, 2)
-        if quality is not None:
-            extra["synthetic_scene_overall_mm"] = round(
-                float(quality["plane"]), 5)
-            extra["synthetic_sphere_overall_mm"] = round(
-                float(quality["sphere_step"]), 5)
-            extra["synthetic_multi_scene_overall_mm"] = round(
-                float(quality["multi_scene"]), 5)
+    # ---- Primary: monolithic forward at the paper's resolution. ----
+    maps_paper = _throughput(forward, 1152, 864, views=5)
+    RESULT["value"] = round(maps_paper, 3)
+    RESULT["vs_baseline"] = round(maps_paper / BASELINE_MAPS_PER_SEC, 3)
 
-    maps_paper_cached = stage(
-        "cached_1152x864",
+    # ---- Secondary throughputs, cheapest (and most informative) first.
+    cached_paper = stage(
+        "cached_1152x864", 60,
         lambda: _throughput_cached(model, variables, 1152, 864, 5))
-    if maps_paper_cached is not None:
-        extra["maps_per_sec_1152x864_feature_cached"] = round(
-            maps_paper_cached, 3)
-    maps_eval_cached = stage(
-        "cached_1600x1152",
-        lambda: _throughput_cached(model, variables, 1600, 1152, 5, iters=8))
-    if maps_eval_cached is not None:
-        extra["maps_per_sec_1600x1152_feature_cached"] = round(
-            maps_eval_cached, 3)
-        extra["maps_per_sec_1600x1152_feature_cached_vs_baseline"] = round(
-            maps_eval_cached / BASELINE_MAPS_PER_SEC, 3)
+    if cached_paper is not None:
+        extra["maps_per_sec_1152x864_feature_cached"] = round(cached_paper, 3)
+        extra["maps_per_sec_1152x864_feature_cached_vs_baseline"] = round(
+            cached_paper / BASELINE_MAPS_PER_SEC, 3)
 
-    print(json.dumps({
-        "metric": "DTU depth maps/sec/chip (1152x864, N=5, iter=4, bf16)",
-        "value": round(maps_paper, 3),
-        "unit": "maps/sec",
-        "vs_baseline": round(maps_paper / BASELINE_MAPS_PER_SEC, 3),
-        "extra": extra,
-    }))
+    maps_eval = stage(
+        "eval_res_1600x1152", 90,
+        lambda: _throughput(forward, 1600, 1152, views=5, iters=8))
+    if maps_eval is not None:
+        extra["maps_per_sec_1600x1152"] = round(maps_eval, 3)
+        extra["maps_per_sec_1600x1152_vs_baseline"] = round(
+            maps_eval / BASELINE_MAPS_PER_SEC, 3)
+
+    cached_eval = stage(
+        "cached_1600x1152", 90,
+        lambda: _throughput_cached(model, variables, 1600, 1152, 5, iters=8))
+    if cached_eval is not None:
+        extra["maps_per_sec_1600x1152_feature_cached"] = round(cached_eval, 3)
+        extra["maps_per_sec_1600x1152_feature_cached_vs_baseline"] = round(
+            cached_eval / BASELINE_MAPS_PER_SEC, 3)
+
+    # ---- Fusion + quality on a full-size synthetic scan. ----
+    roots = []
+    try:
+        plane = stage(
+            "fusion", 150,
+            lambda: _run_scene(forward, "plane", 7, 1600, 1152))
+        if plane is not None:
+            root, ply, _, _, fusion_secs = plane
+            roots.append(root)
+            extra["fusion_sec_per_scene_7view_1600x1152"] = round(
+                fusion_secs, 3)
+            extra["fusion_vs_reference_cpu"] = round(
+                BASELINE_FUSION_SEC_PER_SCENE / fusion_secs, 2)
+
+            if have_ckpt:
+                plane_score = stage("plane_quality", 90,
+                                    lambda: _score_plane(root, ply))
+                if plane_score is not None:
+                    extra["synthetic_scene_overall_mm"] = round(
+                        float(plane_score["overall_mm"]), 5)
+
+                sphere_score = stage(
+                    "sphere_quality", 180,
+                    lambda: _score_sphere(forward, 7, 1600, 1152, roots))
+                if sphere_score is not None:
+                    extra["synthetic_sphere_overall_mm"] = round(
+                        float(sphere_score["overall_mm"]), 5)
+                    if plane_score is not None:
+                        from itermvs_tpu.benchmark.dtu_score import aggregate
+
+                        agg = aggregate([plane_score, sphere_score])
+                        extra["synthetic_multi_scene_overall_mm"] = round(
+                            float(agg["overall_mm"]), 5)
+    finally:
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)
+
+    signal.alarm(0)
+    extra["elapsed_sec"] = round(time.monotonic() - _START, 1)
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
 
 
 if __name__ == "__main__":

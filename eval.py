@@ -59,6 +59,12 @@ parser.add_argument("--feature_cache", default="auto",
                          "auto = on for single-device batch-1 eval")
 parser.add_argument("--feature_cache_views", type=int, default=16,
                     help="LRU capacity (views) of the feature cache")
+parser.add_argument("--input_uint8", action="store_true",
+                    help="upload level_0 images as raw uint8 and normalize "
+                         "to [-1,1] on device (bit-identical math, 4x fewer "
+                         "host->device bytes; exact when images are already "
+                         "at the eval size — else the resize runs in uint8, "
+                         "±0.5/255 vs the float32 path)")
 parser.add_argument("--scan_shard", default=None, metavar="I/N",
                     help="process only every N-th scan starting at I "
                          "(0-based), e.g. 0/4 .. 3/4: scan-level "
@@ -143,13 +149,17 @@ def apply_scan_shard(dataset, shard):
 
 def build_dataset(args, img_wh):
     MVSDataset = find_dataset_def(args.dataset)
+    u8 = bool(getattr(args, "input_uint8", False))
     if args.dataset == "dtu_yao_eval":
-        return MVSDataset(args.testpath, args.testlist, args.n_views, img_wh)
+        return MVSDataset(args.testpath, args.testlist, args.n_views, img_wh,
+                          uint8_level0=u8)
     if args.dataset == "tanks":
-        return MVSDataset(args.testpath, args.n_views, img_wh, args.split)
+        return MVSDataset(args.testpath, args.n_views, img_wh, args.split,
+                          uint8_level0=u8)
     if args.dataset == "eth3d":
-        return MVSDataset(args.testpath, args.split, args.n_views, img_wh)
-    return MVSDataset(args.testpath, args.n_views, img_wh)
+        return MVSDataset(args.testpath, args.split, args.n_views, img_wh,
+                          uint8_level0=u8)
+    return MVSDataset(args.testpath, args.n_views, img_wh, uint8_level0=u8)
 
 
 def _write_outputs(outdir, filename, depth_est, confidence):

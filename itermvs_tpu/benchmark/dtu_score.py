@@ -94,9 +94,23 @@ def apply_obs_mask(pts: np.ndarray, bb: np.ndarray, res: float,
     return keep
 
 
+def _subsample(pts: np.ndarray, cap: int | None, seed: int = 1) -> np.ndarray:
+    """Uniform random subsample to ≤cap rows (fixed seed, no-op if under)."""
+    if cap is None or pts.shape[0] <= cap:
+        return pts
+    rng = np.random.default_rng(seed)
+    return pts[rng.choice(pts.shape[0], cap, replace=False)]
+
+
 def score(data_ply: str, gt_ply: str, obs_mask_path: str | None = None,
           plane_path: str | None = None, density: float = DENSITY,
-          max_dist: float = MAX_DIST) -> dict:
+          max_dist: float = MAX_DIST, query_cap: int | None = None) -> dict:
+    """Score one scan. `query_cap` bounds KD-tree QUERY counts only: the
+    per-point NN distances whose means are acc/comp are estimated from a
+    uniform random sample of the query cloud (an unbiased estimator of
+    the same mean), while tree TARGETS always keep every point — thinning
+    a target would inflate distances, a bias. Protocol semantics
+    (reducePts density, ObsMask/Plane filters, 20 mm cutoff) unchanged."""
     from itermvs_tpu.io import read_ply
 
     data_pts, _ = read_ply(data_ply)
@@ -110,7 +124,8 @@ def score(data_ply: str, gt_ply: str, obs_mask_path: str | None = None,
         data_eval = data_pts[keep]
     else:
         data_eval = data_pts
-    d_acc = nn_distances(data_eval, gt_pts.astype(np.float64))
+    d_acc = nn_distances(_subsample(data_eval, query_cap),
+                         gt_pts.astype(np.float64))
     d_acc = d_acc[d_acc < max_dist]
 
     # Completeness: GT → data.
@@ -122,7 +137,8 @@ def score(data_ply: str, gt_ply: str, obs_mask_path: str | None = None,
         gt_eval = gt_pts[above]
     else:
         gt_eval = gt_pts
-    d_comp = nn_distances(gt_eval.astype(np.float64), data_pts)
+    d_comp = nn_distances(_subsample(gt_eval.astype(np.float64), query_cap),
+                          data_pts)
     d_comp = d_comp[d_comp < max_dist]
 
     acc = float(np.mean(d_acc)) if d_acc.size else float("nan")
@@ -207,6 +223,9 @@ def main():
                         help="fused-cloud filename prefix (eval.py naming)")
     parser.add_argument("--density", type=float, default=DENSITY)
     parser.add_argument("--max_dist", type=float, default=MAX_DIST)
+    parser.add_argument("--query_cap", type=int, default=None,
+                        help="bound NN QUERY point counts (unbiased mean "
+                             "estimate; tree targets stay exact)")
     args = parser.parse_args()
 
     multi = bool(args.scan_list) or bool(args.scans)
@@ -215,7 +234,8 @@ def main():
             parser.error("--scans requires --data_dir and --gt_dir")
         results = []
         for data, gt, obs, plane, label in _scan_jobs(args):
-            r = score(data, gt, obs, plane, args.density, args.max_dist)
+            r = score(data, gt, obs, plane, args.density, args.max_dist,
+                      args.query_cap)
             r["scan"] = label
             print(f"{label}: acc {r['accuracy_mm']:.4f} "
                   f"comp {r['completeness_mm']:.4f} "
@@ -226,7 +246,7 @@ def main():
     if not (args.data and args.gt):
         parser.error("--data/--gt (single scan) or --scan_list/--scans required")
     print(json.dumps(score(args.data, args.gt, args.obs_mask, args.plane,
-                           args.density, args.max_dist)))
+                           args.density, args.max_dist, args.query_cap)))
 
 
 if __name__ == "__main__":

@@ -29,18 +29,37 @@ def _cv2():
     return cv2
 
 
-def image_pyramid(img: np.ndarray, img_wh: tuple[int, int] | None) -> dict:
-    """[-1,1]-scaled multi-scale pyramid from an HWC uint8/float image."""
+def image_pyramid(img: np.ndarray, img_wh: tuple[int, int] | None,
+                  uint8_level0: bool = False) -> dict:
+    """[-1,1]-scaled multi-scale pyramid from an HWC uint8/float image.
+
+    With `uint8_level0`, level_0 stays raw uint8 and the [-1,1] scaling
+    happens on DEVICE (models.Pipeline normalizes uint8 inputs with the
+    bit-identical expression `2·x/255 − 1`): the model consumes only
+    level_0 pixels, and uint8 is 4× fewer bytes over the host→device
+    link — the eval pipeline's largest transfer. Exact when the image
+    is already at target size (no resize); a needed resize runs in
+    uint8 (cv2 rounds to integer, ±0.5/255 vs the float32 path)."""
     cv2 = _cv2()
-    np_img = 2.0 * np.asarray(img, dtype=np.float32) / 255.0 - 1.0
-    if img_wh is not None and (np_img.shape[1], np_img.shape[0]) != tuple(img_wh):
+    raw = np.asarray(img)
+    np_img = 2.0 * raw.astype(np.float32) / 255.0 - 1.0
+    resize = (img_wh is not None
+              and (np_img.shape[1], np_img.shape[0]) != tuple(img_wh))
+    if resize:
         np_img = cv2.resize(np_img, tuple(img_wh), interpolation=cv2.INTER_LINEAR)
     h, w, _ = np_img.shape
+    if uint8_level0:
+        level0 = raw.astype(np.uint8, copy=False)
+        if resize:
+            level0 = cv2.resize(level0, tuple(img_wh),
+                                interpolation=cv2.INTER_LINEAR)
+    else:
+        level0 = np_img
     return {
         "level_3": cv2.resize(np_img, (w // 8, h // 8), interpolation=cv2.INTER_LINEAR),
         "level_2": cv2.resize(np_img, (w // 4, h // 4), interpolation=cv2.INTER_LINEAR),
         "level_1": cv2.resize(np_img, (w // 2, h // 2), interpolation=cv2.INTER_LINEAR),
-        "level_0": np_img,
+        "level_0": level0,
     }
 
 

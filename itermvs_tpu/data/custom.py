@@ -16,10 +16,12 @@ from itermvs_tpu.data.base import (
 
 
 class MVSDataset(MVSDatasetBase):
-    def __init__(self, datapath, n_views=5, img_wh=(640, 480)):
+    def __init__(self, datapath, n_views=5, img_wh=(640, 480),
+                 uint8_level0=False):
         self.datapath = datapath
         self.img_wh = img_wh
         self.n_views = n_views
+        self.uint8_level0 = uint8_level0
         self.metas = self._build_list()
 
     def _build_list(self):
@@ -37,7 +39,8 @@ class MVSDataset(MVSDatasetBase):
             cam_path = os.path.join(self.datapath, f"cams_1/{vid:08d}_cam.txt")
             pil = self.read_image(img_path)
             ow, oh = pil.size
-            imgs.append(image_pyramid(pil, self.img_wh))
+            imgs.append(image_pyramid(pil, self.img_wh,
+                                      uint8_level0=self.uint8_level0))
 
             intrinsics, extrinsics, dmin, dmax = self.read_cam(cam_path)
             intrinsics = intrinsics.copy()

@@ -19,7 +19,9 @@ from itermvs_tpu.data.base import (
 
 
 class MVSDataset(MVSDatasetBase):
-    def __init__(self, datapath, listfile, nviews=5, img_wh=(1600, 1152)):
+    def __init__(self, datapath, listfile, nviews=5, img_wh=(1600, 1152),
+                 uint8_level0=False):
+        self.uint8_level0 = uint8_level0
         self.datapath = datapath
         self.listfile = listfile
         self.nviews = nviews
@@ -49,7 +51,8 @@ class MVSDataset(MVSDatasetBase):
         for i, vid in enumerate(view_ids):
             img_path = os.path.join(self.datapath, scan, f"images/{vid:0>8}.jpg")
             cam_path = os.path.join(self.datapath, scan, f"cams_1/{vid:0>8}_cam.txt")
-            imgs.append(image_pyramid(self.read_image(img_path), self.img_wh))
+            imgs.append(image_pyramid(self.read_image(img_path), self.img_wh,
+                                      uint8_level0=self.uint8_level0))
 
             intrinsics, extrinsics, dmin, dmax = self.read_cam(cam_path)
             intrinsics = intrinsics.copy()

@@ -22,7 +22,9 @@ TRAIN_SCANS = ["courtyard", "delivery_area", "electro", "facade",
 
 
 class MVSDataset(MVSDatasetBase):
-    def __init__(self, datapath, split="test", n_views=7, img_wh=(1920, 1280)):
+    def __init__(self, datapath, split="test", n_views=7, img_wh=(1920, 1280),
+                 uint8_level0=False):
+        self.uint8_level0 = uint8_level0
         self.datapath = datapath
         self.img_wh = img_wh
         self.split = split
@@ -49,7 +51,8 @@ class MVSDataset(MVSDatasetBase):
             cam_path = os.path.join(self.datapath, scan, f"cams_1/{vid:08d}_cam.txt")
             pil = self.read_image(img_path)
             ow, oh = pil.size
-            imgs.append(image_pyramid(pil, self.img_wh))
+            imgs.append(image_pyramid(pil, self.img_wh,
+                                      uint8_level0=self.uint8_level0))
 
             intrinsics, extrinsics, dmin, dmax = self.read_cam(cam_path)
             if dmin < 0:

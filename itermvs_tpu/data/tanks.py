@@ -21,7 +21,8 @@ ADVANCED_SCANS = ["Auditorium", "Ballroom", "Courtroom",
 
 class MVSDataset(MVSDatasetBase):
     def __init__(self, datapath, n_views=7, img_wh=(1920, 1024),
-                 split="intermediate"):
+                 split="intermediate", uint8_level0=False):
+        self.uint8_level0 = uint8_level0
         self.datapath = datapath
         self.img_wh = img_wh
         self.split = split
@@ -51,7 +52,8 @@ class MVSDataset(MVSDatasetBase):
                                     f"cams_1/{vid:08d}_cam.txt")
             pil = self.read_image(img_path)
             ow, oh = pil.size
-            imgs.append(image_pyramid(pil, self.img_wh))
+            imgs.append(image_pyramid(pil, self.img_wh,
+                                      uint8_level0=self.uint8_level0))
 
             intrinsics, extrinsics, dmin, dmax = self.read_cam(cam_path)
             intrinsics = intrinsics.copy()

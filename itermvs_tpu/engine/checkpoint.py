@@ -108,10 +108,64 @@ def restore_weights_only(path: str, state):
 
 
 def load_variables(path: str):
-    """Load inference variables {'params', 'batch_stats'} from any format."""
+    """Load inference variables {'params', 'batch_stats'} from any format:
+    an Orbax directory, a vendored .npz (save_npz_variables), or a torch
+    pickle (one-way converted)."""
     if os.path.isdir(path):
         restored = _restore_any(path)
         return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+    if path.endswith(".npz"):
+        return load_npz_variables(path)
     from itermvs_tpu.engine.torch_import import import_torch_checkpoint
 
     return import_torch_checkpoint(path)
+
+
+def pretrained_path(name: str = "dtu") -> str | None:
+    """Path to released IterMVS weights: the vendored .npz conversion
+    committed under <repo>/checkpoints/<name>/ (self-contained), else
+    the reference mount's torch pickle, else None."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    vendored = os.path.join(repo, "checkpoints", name, "model_000015.npz")
+    if os.path.exists(vendored):
+        return vendored
+    torch_ckpt = f"/root/reference/checkpoints/{name}/model_000015.ckpt"
+    return torch_ckpt if os.path.exists(torch_ckpt) else None
+
+
+def save_npz_variables(path: str, variables) -> None:
+    """Write inference variables as a flat .npz ('/'-joined tree paths).
+
+    The vendored-weights format: plain NumPy, no torch or Orbax needed
+    to read it, small enough to commit (the model is ~0.34 M params,
+    reference checkpoints/dtu/model_000015.ckpt)."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", variables)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **flat)
+
+
+def load_npz_variables(path: str):
+    """Inverse of save_npz_variables → nested {'params', 'batch_stats'}."""
+    import numpy as np
+
+    tree: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return tree

@@ -69,10 +69,16 @@ def _consistency_kernel(ref_depth, confidence, src_depths, src_valid,
       rel_src_to_ref: [S, 4, 4] inverse relative extrinsics.
       k_ref, k_ref_inv: [3, 3]; k_srcs, k_srcs_inv: [S, 3, 3].
 
-    Returns (depth_averaged [H,W] f32, mask_bits [H,W] uint8) with
-    bit0 = photo mask, bit1 = geo mask, bit2 = final mask — the full
-    epilogue (reference eval.py:236,258-263) runs on device so only
-    ~9 MB/view crosses the (slow) host link instead of raw sums.
+    Returns (depth_q [H,W] uint16, lo, hi f32 scalars, mask_bits [H,W]
+    uint8) with bit0 = photo mask, bit1 = geo mask, bit2 = final mask —
+    the full epilogue (reference eval.py:236,258-263) runs on device,
+    and the averaged depth crosses the (slow, tunnel-dependent) host
+    link uint16-quantized against its own [lo, hi] range: the wire cost
+    is ~5.5 MB/view instead of ~9 MB, and the dequantization error
+    (hi−lo)/65535/2 is ≤0.004 mm at DTU depth ranges — two orders of
+    magnitude under the 0.2 mm scorer density. Device→host bandwidth is
+    the fusion wall-clock driver on slow-tunnel hosts (measured 12.0 of
+    15.1 s/scene; see docs/PERFORMANCE.md "Fusion host tail").
 
     TPU notes (both bit-accuracy- and throughput-critical):
       * every matmul runs precision="highest" — the TPU default matmul
@@ -138,7 +144,12 @@ def _consistency_kernel(ref_depth, confidence, src_depths, src_valid,
     bits = (photo.astype(jnp.uint8)
             + (geo.astype(jnp.uint8) << 1)
             + ((photo & geo).astype(jnp.uint8) << 2))
-    return depth_averaged, bits
+    lo = depth_averaged.min()
+    hi = depth_averaged.max()
+    span = jnp.maximum(hi - lo, 1e-6)
+    depth_q = jnp.clip(jnp.round((depth_averaged - lo) * (65535.0 / span)),
+                       0, 65535).astype(jnp.uint16)
+    return depth_q, lo, hi, bits
 
 
 class _ViewCache:
@@ -177,7 +188,13 @@ class _ViewCache:
         intr[1] *= self.img_wh[1] / oh
         depth = read_pfm(
             os.path.join(self.out_folder, f"depth_est/{vid:0>8}.pfm"))[0][..., 0]
-        entry = dict(K=intr, E=extr, depth=depth)
+        # The depth map lives on DEVICE in the cache: a view serves as a
+        # source for ~10 ref views (DTU pair topology), and re-uploading
+        # the [S,H,W] source stack per ref view is ~44 MB over a host
+        # link that can be the bottleneck — cached device copies make
+        # the per-ref stack a device-local concatenate instead.
+        entry = dict(K=intr, E=extr, depth=depth,
+                     depth_dev=jnp.asarray(depth))
         self._cache[vid] = entry
         while len(self._cache) > self.maxsize:
             self._cache.popitem(last=False)
@@ -313,11 +330,13 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
         k_srcs_inv = np.stack([
             np.linalg.inv(k.astype(np.float64)) for k in k_srcs
         ]).astype(np.float32)
-        src_depths = np.stack([v["depth"] for v in srcs])
+        # Device-local stack of the cached device depth maps — no
+        # host→device re-upload of source depths per ref view.
+        src_depths = jnp.stack([v["depth_dev"] for v in srcs])
 
         out = _consistency_kernel(
-            jnp.asarray(ref["depth"]), jnp.asarray(conf),
-            jnp.asarray(src_depths), jnp.asarray(src_valid),
+            ref["depth_dev"], jnp.asarray(conf),
+            src_depths, jnp.asarray(src_valid),
             jnp.asarray(rel_r2s), jnp.asarray(rel_s2r),
             jnp.asarray(ref["K"]),
             jnp.asarray(np.linalg.inv(
@@ -338,10 +357,12 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
         seconds per view when 4 finalize threads fetched their own
         results vs ~1 s sequential), so transfers stay single-threaded
         and only the pure-host tail goes to the pool."""
-        return (timed("fetch", lambda: np.asarray(out[0])),
-                timed("fetch", lambda: np.asarray(out[1])))
+        depth_q, lo, hi, bits = out
+        return (timed("fetch", lambda: np.asarray(depth_q)),
+                float(lo), float(hi),
+                timed("fetch", lambda: np.asarray(bits)))
 
-    def finalize(ref_view, ref, depth_averaged, bits):
+    def finalize(ref_view, ref, depth_q, lo, hi, bits):
         """One view's host tail: masks, color decode, back-projection,
         PLY append. Runs on the finalize pool — touches only
         thread-safe state (direct file reads, the locked PLY writer,
@@ -376,8 +397,10 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
             # scorer density. f32 matters on the host: this is per-view
             # work on what may be a single CPU core (measured 2-3×).
             idx = np.flatnonzero(final_mask.ravel())
-            depth = depth_averaged.ravel().take(idx).astype(np.float32,
-                                                            copy=False)
+            # Dequantize the uint16 wire format only at surviving pixels.
+            step = np.float32((hi - lo) / 65535.0)
+            depth = (np.float32(lo)
+                     + depth_q.ravel().take(idx).astype(np.float32) * step)
             pix = np.empty((idx.size, 3), np.float32)
             np.multiply(grid_x.take(idx), depth, out=pix[:, 0])
             np.multiply(grid_y.take(idx), depth, out=pix[:, 1])

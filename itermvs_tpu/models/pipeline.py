@@ -50,16 +50,27 @@ class Pipeline(nn.Module):
                                 dtype=self.dtype, interleave=self.interleave,
                                 name="iter_mvs")
 
+    @staticmethod
+    def _normalize(x):
+        """uint8 images → [-1, 1] float32 ON DEVICE, bit-identical to the
+        loader's host expression `2·x/255 − 1` (data/base.py:image_pyramid);
+        float inputs pass through as float32. uint8 transport is 4× fewer
+        bytes over the host→device link — the eval pipeline's largest
+        per-map transfer (level_0 at 1600×1152×5 views is 110 MB float32)."""
+        if x.dtype == jnp.uint8:
+            return 2.0 * x.astype(jnp.float32) / 255.0 - 1.0
+        return x.astype(jnp.float32)
+
     def extract(self, imgs, train: bool = False):
         """FeatureNet over a flat batch of views.
 
-        imgs: [N, H, W, 3] float images → dict level1..3, [N, h, w, c].
-        Exposed as a separate entry point so inference drivers can
-        compute each image's features ONCE per scan and reuse them
-        across every depth map it appears in (eval.py feature cache) —
-        the reference recomputes all V feature maps per reference view
-        (net.py:52-65)."""
-        return self.feature_net(imgs.astype(jnp.float32), train)
+        imgs: [N, H, W, 3] float [-1,1] (or raw uint8) images → dict
+        level1..3, [N, h, w, c]. Exposed as a separate entry point so
+        inference drivers can compute each image's features ONCE per
+        scan and reuse them across every depth map it appears in
+        (eval.py feature cache) — the reference recomputes all V
+        feature maps per reference view (net.py:52-65)."""
+        return self.feature_net(self._normalize(imgs), train)
 
     def match(self, features, proj_matrices, depth_min, depth_max):
         """IterMVS on precomputed features.
@@ -113,7 +124,7 @@ class Pipeline(nn.Module):
 
     def __call__(self, imgs, proj_matrices, depth_min, depth_max,
                  train: bool = False):
-        x = imgs["level_0"].astype(jnp.float32)       # [B, V, H, W, 3]
+        x = self._normalize(imgs["level_0"])          # [B, V, H, W, 3]
         b, v, h, w, c = x.shape
         flat = self.extract(x.reshape(b * v, h, w, c), train)
         features = {key: fea.reshape(b, v, *fea.shape[1:])

@@ -16,15 +16,17 @@ import pytest
 
 from tests.synthetic_scene import build_scene_dir, make_cameras, render_view
 
-CKPT = "/root/reference/checkpoints/dtu/model_000015.ckpt"
+from itermvs_tpu.engine.checkpoint import pretrained_path
+
+CKPT = pretrained_path("dtu")
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(CKPT), reason="reference checkpoint unavailable")
+    CKPT is None, reason="no vendored or reference checkpoint available")
 
 
 def test_bf16_matches_f32_on_trained_model(tmp_path):
     from itermvs_tpu.data import find_dataset_def
-    from itermvs_tpu.engine.torch_import import import_torch_checkpoint
+    from itermvs_tpu.engine.checkpoint import load_variables
     from itermvs_tpu.models import Pipeline
 
     scene = str(tmp_path / "scene")
@@ -38,7 +40,7 @@ def test_bf16_matches_f32_on_trained_model(tmp_path):
     dmin = jnp.asarray([sample["depth_min"]])
     dmax = jnp.asarray([sample["depth_max"]])
 
-    variables = import_torch_checkpoint(CKPT)
+    variables = load_variables(CKPT)
     outs = {}
     for name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
         model = Pipeline(iteration=4, test=True, dtype=dt)

@@ -192,7 +192,7 @@ def test_consistency_kernel_matches_reference_math(tmp_path):
     k_srcs = np.stack([cams[s][0] for s in srcs]).astype(np.float32)
     k_srcs_inv = np.stack([np.linalg.inv(cams[s][0].astype(np.float64))
                            for s in srcs]).astype(np.float32)
-    avg_got, bits = fusion._consistency_kernel(
+    depth_q, lo, hi, bits = fusion._consistency_kernel(
         jnp.asarray(ref_depth, jnp.float32), jnp.ones((h, w), jnp.float32),
         jnp.asarray(np.stack([depths[s] for s in srcs])),
         jnp.ones(len(srcs), jnp.float32),
@@ -202,7 +202,10 @@ def test_consistency_kernel_matches_reference_math(tmp_path):
         jnp.asarray(k_srcs), jnp.asarray(k_srcs_inv),
         geo_pixel_thres=1.0, geo_depth_thres=0.01, photo_thres=0.3,
         geo_mask_thres=3)
-    avg_got = np.asarray(avg_got, np.float64)
+    # Dequantize the uint16 wire format (adds ≤(hi−lo)/65535/2 ≈ 2e-5
+    # absolute error here — far under the 1e-3 relative tolerance).
+    lo, hi = np.float64(lo), np.float64(hi)
+    avg_got = lo + np.asarray(depth_q, np.float64) * ((hi - lo) / 65535.0)
     geo_got = (np.asarray(bits) & 2) > 0
 
     # Threshold tests can flip on borderline pixels (f32 vs f64 math):

@@ -13,10 +13,12 @@ import pytest
 
 from tests.synthetic_scene import build_scene_dir, Z0
 
-CKPT = "/root/reference/checkpoints/dtu/model_000015.ckpt"
+from itermvs_tpu.engine.checkpoint import pretrained_path
+
+CKPT = pretrained_path("dtu")
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(CKPT), reason="reference checkpoint unavailable")
+    CKPT is None, reason="no vendored or reference checkpoint available")
 
 
 def test_eval_cli_end_to_end(tmp_path):
