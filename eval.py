@@ -96,6 +96,15 @@ ETH3D_TRAIN_THRES = {"courtyard": 1, "delivery_area": 2, "electro": 1, "facade":
 
 
 def resolve_img_wh(args):
+    # Env-var escape hatch (the named datasets pin their published eval
+    # sizes below, mirroring the reference eval.py:47-50): lets tests
+    # and sizing experiments run the same code path at a smaller
+    # resolution without breaking flag parity.
+    override = os.environ.get("ITERMVS_IMG_WH")
+    if override:
+        w, h = (int(x) for x in override.lower().replace("x", " ").split())
+        print(f"img_wh overridden via ITERMVS_IMG_WH: {w}x{h}")
+        return (w, h)
     if args.dataset == "dtu_yao_eval":
         return (1600, 1152)
     if args.dataset == "tanks":
