@@ -129,8 +129,22 @@ def group_corr(warped: jnp.ndarray, ref_fea: jnp.ndarray, groups: int
 
     Multiply in the feature dtype, accumulate the group mean in f32
     (the reduce fusion reads bf16 and emits f32 in bf16 mode)."""
+    import os
+
     b, n, h, w, c = warped.shape
     cg = c // groups
+    if os.environ.get("ITERMVS_CORR_DOT"):
+        # Experimental: the group mean as an MXU contraction against a
+        # block-diagonal [C, G] matrix — same math, but frees XLA from
+        # the cross-minor reduce (and its relayout of the gathered
+        # block). Evaluated via tools/profile_trace.py.
+        import numpy as np
+
+        mean_mat = jnp.asarray(
+            np.repeat(np.eye(groups), cg, axis=0) / cg, warped.dtype)
+        prod = warped * ref_fea[:, None].astype(warped.dtype)
+        return jnp.einsum("bnhwc,cg->bnhwg", prod, mean_mat,
+                          preferred_element_type=jnp.float32)
     prod = warped.reshape(b, n, h, w, groups, cg) * ref_fea.reshape(
         b, 1, h, w, groups, cg
     ).astype(warped.dtype)
