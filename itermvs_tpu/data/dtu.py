@@ -71,11 +71,17 @@ class MVSDataset(MVSDatasetBase):
         return arr[sh:sh + th, sw:sw + tw]
 
     def _read_depth_mask(self, depth_path, mask_path, scale):
-        from PIL import Image
+        import cv2
 
         depth_hr = read_pfm(depth_path)[0][..., 0] * scale
         depth_lr = self._prepare_map(depth_hr)
-        mask = (np.array(Image.open(mask_path), dtype=np.float32) > 10).astype(np.float32)
+        # Grayscale cv2 decode of the (grayscale) depth_visual PNG: same
+        # pixel values as PIL on these files, ~3x faster on the 1600x1200
+        # masks (measured 48 -> 15 ms; the loader is the e2e training
+        # bottleneck on few-core hosts). Reference thresholds the same
+        # way (dtu_yao.py:84).
+        raw = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+        mask = (raw.astype(np.float32) > 10).astype(np.float32)
         mask = self._prepare_map(mask)
         return nearest_pyramid(depth_lr), nearest_pyramid(mask)
 

@@ -9,6 +9,7 @@ epoch (reference recipe: train.py:123-191).
 """
 from __future__ import annotations
 
+import functools
 import argparse
 import os
 import sys
@@ -188,10 +189,14 @@ def main():
         k: jax.tree.map(lambda x: jnp.asarray(x)[None], sample0[k])
         for k in ("imgs", "proj_matrices")
     }
-    variables = model.init(
+    # Jit the init: run eagerly it executes thousands of tiny ops one by
+    # one (minutes over a remote-TPU link); jitted it is one compiled
+    # program that the persistent cache then makes a one-time cost.
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(
         jax.random.PRNGKey(args.seed), init_batch["imgs"],
         init_batch["proj_matrices"], jnp.asarray([sample0["depth_min"]]),
-        jnp.asarray([sample0["depth_max"]]), train=False)
+        jnp.asarray([sample0["depth_max"]]))
     state = create_train_state(variables, tx)
     num_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"Number of model parameters: {num_params}")
