@@ -35,7 +35,7 @@ from itermvs_tpu.models.blocks import Conv, ConvGRU, ConvReLU, ConvTranspose
 from itermvs_tpu.ops.depth_range import depth_unnormalization
 from itermvs_tpu.ops.resize import resize_bilinear, upsample_bilinear
 from itermvs_tpu.ops.grid_sample import (
-    BandedSource, PackedSource, gather_corners,
+    BandedSource, PackedSource, SuperpixelSource, gather_corners,
 )
 from itermvs_tpu.ops.warping import (
     fused_sweep_taps, group_corr, interleave_perm, pack_bilinear,
@@ -466,7 +466,7 @@ class IterMVS(nn.Module):
         # permutes channels before packing, so pre-packed tables are
         # only accepted in natural order.
         def _pack(view, key):
-            if isinstance(view, (PackedSource, BandedSource)):
+            if isinstance(view, (PackedSource, BandedSource, SuperpixelSource)):
                 if self.interleave:
                     raise ValueError(
                         "pre-packed sources are incompatible with "

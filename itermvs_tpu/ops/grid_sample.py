@@ -92,6 +92,44 @@ class BandedSource(NamedTuple):
         return self.shape
 
 
+class SuperpixelSource(NamedTuple):
+    """2×2-superpixel 9-slot packed source.
+
+    data: [B, ceil(H/2), ceil(W/2), 9·C]; slot (dy, dx), dy, dx ∈
+      {0, 1, 2}, of superpixel (i, j) holds src[2i+dy, 2j+dx],
+      zero-filled outside the image.
+    shape: the VIRTUAL corner-packed shape (B, H, W, 4·C) — consumers
+      read source geometry / C from `src_shape` exactly as for
+      `PackedSource`.
+
+    Any bilinear footprint (base corner (y, x), spanning y..y+1,
+    x..x+1) lies inside the 3×3 pixel neighborhood of superpixel
+    (y//2, x//2), so ONE row gather of a 4×-fewer-row table covers it.
+    Used when the corner-packed table would exceed the fast-gather row
+    limit within a sample: one fast-rate gather of H/2·W/2 rows beats
+    the 2-band masked scheme's 2× redundant rows (measured 9.47 →
+    7.47 ms per level-1 warp at 1600×1152, tools/exp_superpixel_gather
+    .py; below the limit it LOSES — 2.25× row bytes for no row saving —
+    so `pack_corners_fast` never picks it there)."""
+    data: jnp.ndarray
+    shape: tuple
+
+    @property
+    def src_shape(self):
+        return self.shape
+
+    @property
+    def corners(self):
+        return 4
+
+
+# Superpixel packing kill-switch for in-context A/B measurement
+# (ITERMVS_SUPERPIXEL=0 restores row banding above the gather limit).
+import os as _os
+
+SUPERPIXEL_PACKING = _os.environ.get("ITERMVS_SUPERPIXEL", "1") != "0"
+
+
 # Packed tables cross jit boundaries (the eval feature cache holds them
 # per scan view and feeds them to the jitted match step). Explicit
 # pytree registration keeps the structural fields — packing factor, band
@@ -108,12 +146,28 @@ jax.tree_util.register_pytree_node(
                (p.sample_ids, p.row_offsets, p.shape, p.corners)),
     lambda aux, bands: BandedSource(tuple(bands), *aux),
 )
+jax.tree_util.register_pytree_node(
+    SuperpixelSource,
+    lambda p: ((p.data,), p.shape),
+    lambda shape, children: SuperpixelSource(children[0], shape),
+)
 
 
 def pack_corners_fast(src: jnp.ndarray, corners: int = 4):
-    """`pack_corners`, sample-split + row-banded when the flat table
-    would exceed the fast-gather row limit (split once at pack time;
-    reused by every warp)."""
+    """`pack_corners`, with the packing adapted to the fast-gather row
+    limit (decided once at pack time; reused by every warp):
+
+    * table fits flat -> `PackedSource` (one fast gather);
+    * a single sample's H·W exceeds the limit but its superpixel table
+      fits -> `SuperpixelSource` (one fast gather of 4×-fewer rows —
+      beats the 2-band masked scheme's 2× redundant gathered rows);
+    * otherwise -> `BandedSource` (sample-split, then row-banded)."""
+    if (SUPERPIXEL_PACKING and corners == 4 and src.ndim == 4):
+        b, h, w, _ = src.shape
+        h2, w2 = -(-h // 2), -(-w // 2)
+        if (h * w > FAST_GATHER_MAX_ROWS
+                and b * h2 * w2 <= FAST_GATHER_MAX_ROWS):
+            return pack_superpixel(src)
     packed = pack_corners(src, corners)
     b, h, w, ck = packed.data.shape
     if corners != 4 or b * h * w <= FAST_GATHER_MAX_ROWS:
@@ -151,6 +205,39 @@ def pack_corners(src: jnp.ndarray, corners: int = 4) -> PackedSource:
     sy = jnp.pad(src[..., 1:, :, :], lead + [(0, 1), (0, 0), (0, 0)])
     sxy = jnp.pad(src[..., 1:, 1:, :], lead + [(0, 1), (0, 1), (0, 0)])
     return PackedSource(jnp.concatenate([src, sx, sy, sxy], axis=-1), 4)
+
+
+def pack_superpixel(src: jnp.ndarray) -> SuperpixelSource:
+    """2×2-superpixel-pack `[B, H, W, C]` features (9 slots per row).
+
+    Slot (dy, dx) of superpixel (i, j) holds src[2i+dy, 2j+dx] with the
+    same zero fill outside the image as `pack_corners`' shifted copies,
+    so out-of-range bilinear corners contribute exactly 0.
+
+    Construction uses only regular data movement: one reshape+transpose
+    folds the padded image into 2×2 pixel blocks, and the dy/dx == 2
+    halo slots are whole-array one-superpixel shifts of those blocks
+    (stride-2 slot slices instead compile to gather fusions on TPU —
+    measured 53 ms/step of packing at 1600×1152)."""
+    b, h, w, c = src.shape
+    h2, w2 = -(-h // 2), -(-w // 2)
+    pad = jnp.pad(src, ((0, 0), (0, 2 * h2 - h), (0, 2 * w2 - w), (0, 0)))
+    # [B, H2, W2, 4C]: lane blocks (0,0) (0,1) (1,0) (1,1).
+    blk = pad.reshape(b, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5
+                                                    ).reshape(b, h2, w2, 4 * c)
+    # One-superpixel shifts with zero fill (pixel 2·w2 / 2·h2 is outside
+    # the image, so the vacated edge is exactly 0).
+    right = jnp.pad(blk[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    below = jnp.pad(blk[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    corner = jnp.pad(below[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    s = lambda a, dy, dx: a[..., (2 * dy + dx) * c:(2 * dy + dx + 1) * c]
+    slots = [
+        s(blk, 0, 0), s(blk, 0, 1), s(right, 0, 0),      # dy = 0
+        s(blk, 1, 0), s(blk, 1, 1), s(right, 1, 0),      # dy = 1
+        s(below, 0, 0), s(below, 0, 1), s(corner, 0, 0),  # dy = 2
+    ]
+    return SuperpixelSource(jnp.concatenate(slots, axis=-1),
+                            (b, h, w, 4 * c))
 
 
 def _axis_taps(p: jnp.ndarray, size: int):
@@ -225,12 +312,58 @@ def _flat_take_banded(packed: "BandedSource", idx: jnp.ndarray) -> jnp.ndarray:
     return outs[0] if b == 1 else jnp.concatenate(outs, axis=0)
 
 
+def _gather_superpixel(packed: SuperpixelSource, flat_idx: jnp.ndarray,
+                       w00, w01, w10, w11) -> jnp.ndarray:
+    """One row gather of the superpixel table + 9-slot weighted sum.
+
+    The base corner (y, x) = divmod(flat_idx, W) lands in slot
+    (y − 2·(y//2), x − 2·(x//2)) of superpixel (y//2, x//2), and corner
+    (i, j) of the bilinear footprint in slot (py+i, px+j) — so the four
+    tap products w00..w11 scatter to parity-selected slots with 1/0
+    factors and every other slot weight is exactly 0. Per element the
+    multiplies and the accumulation order are identical to
+    `gather_corners`' 4-slot path, so the result is bit-equal."""
+    b, h, w, ck = packed.shape
+    c = ck // 4
+    _, h2, w2, _ = packed.data.shape
+    by = flat_idx // w
+    bx = flat_idx - by * w
+    iy = by // 2
+    ix = bx // 2
+    sp_idx = iy * w2 + ix
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h2 * w2))[:, None] if b > 1 else 0
+    table = packed.data.reshape(b * h2 * w2, 9 * c)
+    v = _flat_take(table, sp_idx + boff).reshape(b, -1, 9 * c)
+    dt = table.dtype
+    py = (by - 2 * iy).astype(dt)                    # row parity, 0. or 1.
+    px = (bx - 2 * ix).astype(dt)
+    oy, ox = 1 - py, 1 - px
+    # Slot (dy, dx) weight = w_{dy-py, dx-px} when both in {0, 1}, else 0.
+    w9 = (
+        oy * ox * w00,
+        oy * (ox * w01 + px * w00),
+        oy * px * w01,
+        ox * (oy * w10 + py * w00),
+        oy * ox * w11 + oy * px * w10 + py * ox * w01 + py * px * w00,
+        px * (oy * w11 + py * w01),
+        py * ox * w10,
+        py * (ox * w11 + px * w10),
+        py * px * w11,
+    )
+    out = None
+    for k, wk in enumerate(w9):
+        term = v[..., k * c:(k + 1) * c] * wk[..., None]
+        out = term if out is None else out + term
+    return out                                        # [B, P, C]
+
+
 def gather_corners(packed, flat_idx: jnp.ndarray, w00, w01, w10, w11
                    ) -> jnp.ndarray:
     """Row-gather a 4-corner packed table and apply the bilinear taps.
 
     Args:
-      packed: `PackedSource` / `BandedSource` with corners == 4.
+      packed: `PackedSource` / `BandedSource` / `SuperpixelSource` with
+        corners == 4.
       flat_idx: [B, P] int32 base-corner row indices, within-sample.
       w00..w11: [B, P] tap weights, already in the table dtype.
 
@@ -238,6 +371,8 @@ def gather_corners(packed, flat_idx: jnp.ndarray, w00, w01, w10, w11
     contiguous lane-slices (see gather_bilinear for why slices beat a
     corner-axis reduce).
     """
+    if isinstance(packed, SuperpixelSource):
+        return _gather_superpixel(packed, flat_idx, w00, w01, w10, w11)
     b, h, w, ck = packed.src_shape
     c = ck // 4
     if isinstance(packed, BandedSource):
@@ -267,9 +402,9 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     out_shape = px.shape[1:]
     px = px.reshape(b, -1)
     py = py.reshape(b, -1)
-    if banded:
-        data = packed.bands[0]            # dtype carrier only
-        table = None
+    if banded or isinstance(packed, SuperpixelSource):
+        data = packed.bands[0] if banded else packed.data  # dtype carrier
+        table = None                      # corners==4 path handles both
     else:
         data = packed.data
         table = data.reshape(b * h * w, ck)

@@ -96,25 +96,33 @@ def test_prepacked_banded_sources(small_setup, monkeypatch):
     per_view = [model.apply(variables, imgs["level_0"][:, i],
                             method=Pipeline.extract) for i in range(v)]
 
-    # level1 at 96×128 is 48·64 = 3072 rows → bands; level2 (768) and
-    # level3 (192) stay under the limit → PackedSource. Mirrors the
-    # real mixed case at eval resolution.
+    # level1 at 96×128 is 48·64 = 3072 rows → over the limit; level2
+    # (768) and level3 (192) stay under → PackedSource. With superpixel
+    # packing on (the default) the over-limit level arrives as a
+    # SuperpixelSource; with it off, as row bands — both mixed pytrees
+    # must cross the prepack→cache→match jit boundaries and reproduce
+    # the monolithic forward.
     monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 1000)
     from itermvs_tpu.ops.warping import pack_bilinear
-    prepack = jax.jit(lambda f: {k: pack_bilinear(x) for k, x in f.items()})
-    packed_views = [prepack(f) for f in per_view[1:]]
-    assert isinstance(packed_views[0]["level1"], gs.BandedSource)
-    assert isinstance(packed_views[0]["level2"], gs.PackedSource)
+    for superpixel in (True, False):
+        monkeypatch.setattr(gs, "SUPERPIXEL_PACKING", superpixel)
+        kind = gs.SuperpixelSource if superpixel else gs.BandedSource
+        prepack = jax.jit(
+            lambda f: {k: pack_bilinear(x) for k, x in f.items()})
+        packed_views = [prepack(f) for f in per_view[1:]]
+        assert isinstance(packed_views[0]["level1"], kind)
+        assert isinstance(packed_views[0]["level2"], gs.PackedSource)
 
-    match = jax.jit(lambda f, p, lo, hi: model.apply(
-        variables, f, p, lo, hi, method=Pipeline.match))
-    out = match((per_view[0], *packed_views), projs, dmin, dmax)
+        match = jax.jit(lambda f, p, lo, hi: model.apply(
+            variables, f, p, lo, hi, method=Pipeline.match))
+        out = match((per_view[0], *packed_views), projs, dmin, dmax)
 
-    for key in ("depths_upsampled", "confidence_upsampled"):
-        a = np.asarray(ref[key])
-        b = np.asarray(out[key])
-        assert np.allclose(a, b, rtol=1e-5, atol=1e-5), (
-            f"{key} (banded prepack): max diff {np.abs(a - b).max()}")
+        for key in ("depths_upsampled", "confidence_upsampled"):
+            a = np.asarray(ref[key])
+            b = np.asarray(out[key])
+            assert np.allclose(a, b, rtol=1e-5, atol=1e-5), (
+                f"{key} ({kind.__name__} prepack): "
+                f"max diff {np.abs(a - b).max()}")
 
 
 def test_eval_datasets_expose_view_ids(tmp_path):

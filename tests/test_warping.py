@@ -215,7 +215,9 @@ def test_banded_gather_matches_single_table(rng, monkeypatch):
 
     base = np.asarray(warp_corr(jnp.asarray(src), jnp.asarray(ref_fea),
                                 jnp.asarray(proj), jnp.asarray(depth), g))
-    # Force banding with a tiny row limit (table has 144 rows -> 3 bands).
+    # Force banding with a tiny row limit (table has 144 rows -> 3 bands;
+    # superpixel packing off — it would otherwise win this size class).
+    monkeypatch.setattr(gs, "SUPERPIXEL_PACKING", False)
     monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 50)
     banded = gs.pack_corners_fast(jnp.asarray(src))
     assert isinstance(banded, gs.BandedSource) and len(banded.bands) == 3
@@ -239,6 +241,7 @@ def test_sample_banded_gather_batch(rng, monkeypatch):
     py = jnp.asarray(rng.uniform(-3, h + 2, (b, 5, h, w)).astype(np.float32))
     ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py))
 
+    monkeypatch.setattr(gs, "SUPERPIXEL_PACKING", False)
     monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 500)
     banded = gs.pack_corners_fast(src)
     assert isinstance(banded, gs.BandedSource)
@@ -255,6 +258,74 @@ def test_sample_banded_gather_batch(rng, monkeypatch):
     assert len(banded1.bands) == 3
     got1 = np.asarray(gs.gather_bilinear(banded1, px, py))
     np.testing.assert_allclose(got1, ref, atol=1e-6)
+
+
+def test_superpixel_gather_matches_packed(rng, monkeypatch):
+    """The 2×2-superpixel 9-slot packing (chosen when a sample's H·W
+    exceeds the fast-gather row limit but the superpixel table fits)
+    must be BIT-equal to the flat corner-packed gather: the four tap
+    products scatter to parity-selected slots with exact 1/0 factors
+    and the accumulation order is unchanged."""
+    import sys
+
+    import itermvs_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["itermvs_tpu.ops.grid_sample"]
+
+    for b, h, w, c in ((1, 20, 30, 8), (3, 21, 17, 16)):   # odd sizes too
+        src = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+        px = jnp.asarray(rng.uniform(-3, w + 2, (b, 5, h, w)).astype(np.float32))
+        py = jnp.asarray(rng.uniform(-3, h + 2, (b, 5, h, w)).astype(np.float32))
+        ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py))
+        monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", h * w - 1)
+        sp = gs.pack_corners_fast(src)
+        assert isinstance(sp, gs.SuperpixelSource)
+        got = np.asarray(gs.gather_bilinear(sp, px, py))
+        np.testing.assert_array_equal(got, ref)
+
+    # bfloat16 tables stay bit-equal too (weights applied in table dtype).
+    src = jnp.asarray(rng.rand(1, 30, 40, 16).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    px = jnp.asarray(rng.uniform(-2, 41, (1, 3, 30, 40)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-2, 31, (1, 3, 30, 40)).astype(np.float32))
+    ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py)
+                     .astype(jnp.float32))
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 1199)
+    sp = gs.pack_corners_fast(src)
+    assert isinstance(sp, gs.SuperpixelSource)
+    got = np.asarray(gs.gather_bilinear(sp, px, py).astype(jnp.float32))
+    np.testing.assert_array_equal(got, ref)
+
+    # Fallback: when even the superpixel table exceeds the limit the
+    # pack stays banded.
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 100)
+    assert isinstance(gs.pack_corners_fast(src), gs.BandedSource)
+
+
+def test_superpixel_warp_corr_matches(rng, monkeypatch):
+    """warp_corr on a SuperpixelSource (through fused taps + group corr,
+    the in-model path) matches the unbanded packed source."""
+    import sys
+
+    import itermvs_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["itermvs_tpu.ops.grid_sample"]
+    from itermvs_tpu.ops.warping import warp_corr, warp_corr_packed
+
+    b, c, g, n = 2, 16, 8, 3
+    h = w = 12
+    src = rng.rand(b, h, w, c).astype(np.float32)
+    ref_fea = rng.rand(b, h, w, c).astype(np.float32)
+    proj = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    proj[:, 0, 3] = 0.3
+    depth = rng.uniform(2, 4, (b, n, h, w)).astype(np.float32)
+
+    base = np.asarray(warp_corr(jnp.asarray(src), jnp.asarray(ref_fea),
+                                jnp.asarray(proj), jnp.asarray(depth), g))
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", h * w - 1)
+    sp = gs.pack_corners_fast(jnp.asarray(src))
+    assert isinstance(sp, gs.SuperpixelSource)
+    got = np.asarray(warp_corr_packed(sp, jnp.asarray(ref_fea),
+                                      jnp.asarray(proj), jnp.asarray(depth), g))
+    np.testing.assert_allclose(got, base, atol=1e-6)
 
 
 def test_fused_sweep_taps_matches_per_level(rng):
