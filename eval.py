@@ -101,8 +101,17 @@ def resolve_img_wh(args):
     # and sizing experiments run the same code path at a smaller
     # resolution without breaking flag parity.
     override = os.environ.get("ITERMVS_IMG_WH")
-    if override:
-        w, h = (int(x) for x in override.lower().replace("x", " ").split())
+    # On the datasets that honor --img_wh (custom), an explicitly
+    # passed flag beats a (possibly stale) env var; for the named
+    # datasets the env var replaces the pinned published sizes.
+    explicit_wh = (args.img_wh != parser.get_default("img_wh")
+                   and args.dataset == "custom")
+    if override and not explicit_wh:
+        try:
+            w, h = (int(x) for x in override.lower().replace("x", " ").split())
+        except (ValueError, TypeError):
+            raise SystemExit(
+                f"ITERMVS_IMG_WH must be 'W H' or 'WxH', got {override!r}")
         print(f"img_wh overridden via ITERMVS_IMG_WH: {w}x{h}")
         return (w, h)
     if args.dataset == "dtu_yao_eval":

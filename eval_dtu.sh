@@ -7,7 +7,11 @@
 set -euo pipefail
 
 : "${DTU_TESTING:=/home/Desktop/dtu/}"
-: "${CKPT_FILE:=./checkpoints/dtu/model_000015.ckpt}"
+# Default to the vendored self-contained weights (torch-free .npz
+# conversion of the released checkpoint). Override CKPT_FILE with a
+# reference torch .ckpt to run the original pickle through the
+# importer (engine/torch_import.py).
+: "${CKPT_FILE:=./checkpoints/dtu/model_000015.npz}"
 : "${OUT_DIR:=./outputs}"
 
 python eval.py \

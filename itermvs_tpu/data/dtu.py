@@ -81,6 +81,10 @@ class MVSDataset(MVSDatasetBase):
         # bottleneck on few-core hosts). Reference thresholds the same
         # way (dtu_yao.py:84).
         raw = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+        if raw is None:
+            # cv2.imread signals a missing/corrupt file by returning
+            # None; surface a clear error instead of an AttributeError.
+            raise FileNotFoundError(f"unreadable mask PNG: {mask_path}")
         mask = (raw.astype(np.float32) > 10).astype(np.float32)
         mask = self._prepare_map(mask)
         return nearest_pyramid(depth_lr), nearest_pyramid(mask)

@@ -134,10 +134,14 @@ def group_corr(warped: jnp.ndarray, ref_fea: jnp.ndarray, groups: int
     b, n, h, w, c = warped.shape
     cg = c // groups
     if os.environ.get("ITERMVS_CORR_DOT"):
-        # Experimental: the group mean as an MXU contraction against a
-        # block-diagonal [C, G] matrix — same math, but frees XLA from
-        # the cross-minor reduce (and its relayout of the gathered
-        # block). Evaluated via tools/profile_trace.py.
+        # Experimental (measured SLOWER, see docs/PERFORMANCE.md): the
+        # group mean as an MXU contraction against a block-diagonal
+        # [C, G] matrix, freeing XLA from the cross-minor reduce (and
+        # its relayout of the gathered block). Caveats: in bf16 mode
+        # the 1/cg entries round to bf16 (1/6 is inexact → ~1e-3 rel
+        # difference vs the default f32-accumulated mean), and the env
+        # var is read at TRACE time — toggling it after a compile-cache
+        # hit has no effect. Evaluated via tools/profile_trace.py.
         import numpy as np
 
         mean_mat = jnp.asarray(
