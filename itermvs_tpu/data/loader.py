@@ -3,18 +3,40 @@
 The reference drives training through `torch.utils.data.DataLoader`
 with 4 worker processes (train.py:89-90). Here: a thread-pool loader —
 cv2 / PIL / numpy release the GIL for the heavy decode+resize work, so
-threads deliver near-linear speedups without fork overhead — plus a
-device-prefetch wrapper that keeps one batch in flight to overlap host
-IO with TPU compute.
+threads deliver near-linear speedups without fork overhead — plus an
+optional PROCESS pool for `__getitem__` (worker_processes > 0): on
+multi-core hosts the PNG/PFM decode + resize is CPU-bound Python/C
+round-tripping that a single core caps at ~5 items/s (measured
+~186 ms/item on the DTU recipe, docs/PERFORMANCE.md), so real decode
+parallelism needs processes, exactly like the reference's
+num_workers=4. Collate stays on the main thread either way. A
+device-prefetch wrapper keeps one batch in flight to overlap host IO
+with TPU compute.
 """
 from __future__ import annotations
 
 import collections
+import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# Worker-process state (one dataset per worker, installed by the pool
+# initializer — avoids re-pickling the dataset per item).
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset, epoch):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)
+
+
+def _worker_get(idx):
+    return _WORKER_DATASET[int(idx)]
 
 
 def collate(samples: list):
@@ -42,7 +64,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
                  drop_last=False, seed=0, prefetch_batches=2,
-                 process_index=0, process_count=1):
+                 process_index=0, process_count=1, worker_processes=0):
         """`batch_size` is the GLOBAL batch. Under a multi-host launch
         (process_count > 1) each process loads only its contiguous
         1/process_count slice of every global batch; all processes share
@@ -62,6 +84,17 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch_batches = prefetch_batches
+        # worker_processes > 0: decode items in that many OS processes
+        # (fork start method: workers inherit the dataset's open state
+        # cheaply and never touch JAX/TPU — they only run numpy/cv2/PIL;
+        # identical samples to thread mode since per-item RNG is a pure
+        # function of (seed, epoch, idx), data/base.py:item_rng).
+        self.worker_processes = int(worker_processes)
+        if self.worker_processes > 0 and "fork" not in (
+                multiprocessing.get_all_start_methods()):
+            # No fork (non-POSIX): spawn would re-import __main__ (the
+            # CLIs run work at module scope) — fall back to threads.
+            self.worker_processes = 0
         self._epoch = 0
         self._skip = 0
 
@@ -106,18 +139,31 @@ class DataLoader:
         # while staying reproducible under threaded workers.
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self._epoch)
+        epoch = self._epoch
         batches = self._batch_indices()[self._skip:]
         self._epoch += 1
         self._skip = 0
         if not batches:
             return
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        if self.worker_processes > 0:
+            # One pool per epoch: the initializer installs the dataset
+            # (pickled once per worker) pinned to this epoch's RNG.
+            pool = ProcessPoolExecutor(
+                max_workers=self.worker_processes,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_init_worker, initargs=(self.dataset, epoch))
+            get = _worker_get
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            get = self.dataset.__getitem__
+
+        with pool:
             depth = self.prefetch_batches + 1
             pending = collections.deque()
 
             def submit(batch):
-                return [pool.submit(self.dataset.__getitem__, int(i)) for i in batch]
+                return [pool.submit(get, int(i)) for i in batch]
 
             for batch in batches[:depth]:
                 pending.append(submit(batch))

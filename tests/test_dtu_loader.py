@@ -107,3 +107,34 @@ def test_loader_epoch_variation(tmp_path):
     e1 = [b["depth_min"] for b in loader]
     # robust-train scale jitter differs between epochs for the same items
     assert any(not np.array_equal(x, y) for x, y in zip(e0, e1))
+
+def test_process_loader_matches_threaded(tmp_path):
+    """worker_processes > 0 decodes in OS processes (the multi-core
+    path for the CPU-bound PNG/PFM decode, loader.py) and must yield
+    bitwise-identical batches to the threaded loader — per-item RNG is
+    a pure function of (seed, epoch, idx), so the execution vehicle
+    cannot leak into the samples."""
+    from itermvs_tpu.data import find_dataset_def
+    from itermvs_tpu.data.loader import DataLoader
+
+    root = str(tmp_path / "dtu")
+    os.makedirs(root)
+    listfile = build_dtu_training_dir(root, num_views=5, num_refs=2)
+    ds = find_dataset_def("dtu_yao")(root, listfile, "train", 5,
+                                     robust_train=True, seed=3)
+    threaded = DataLoader(ds, batch_size=2, shuffle=True, num_workers=4,
+                          drop_last=True, seed=3)
+    procs = DataLoader(ds, batch_size=2, shuffle=True, num_workers=4,
+                       drop_last=True, seed=3, worker_processes=2)
+    if procs.worker_processes == 0:
+        import pytest
+        pytest.skip("no fork start method on this platform")
+    a = list(threaded)
+    b = list(procs)
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        for key in ("imgs", "proj_matrices", "depth", "mask"):
+            for lvl, va in ba[key].items():
+                np.testing.assert_array_equal(va, bb[key][lvl])
+        np.testing.assert_array_equal(ba["depth_min"], bb["depth_min"])
+        np.testing.assert_array_equal(ba["depth_max"], bb["depth_max"])

@@ -85,6 +85,12 @@ parser.add_argument("--distributed", default="auto",
                     help="multi-host jax.distributed init: auto = detect a "
                          "launcher/coordinator environment; on = initialize "
                          "or fail loudly; off = never initialize")
+parser.add_argument("--loader_processes", type=int, default=-1,
+                    help="decode worker PROCESSES for the input pipeline "
+                         "(the reference's num_workers=4, train.py:89-90). "
+                         "-1 = auto: min(4, cpu_count-1) when the host has "
+                         ">1 core, else 0 (threaded decode; a single core "
+                         "gains nothing from process fan-out)")
 
 
 def pad_batch(sample, target: int):
@@ -167,12 +173,18 @@ def main():
     # global batch; shard_batch assembles the global array from the
     # process-local shards.
     pidx, pcount = jax.process_index(), jax.process_count()
+    loader_procs = args.loader_processes
+    if loader_procs < 0:
+        ncpu = os.cpu_count() or 1
+        loader_procs = min(4, ncpu - 1) if ncpu > 1 else 0
     train_loader = DataLoader(train_dataset, args.batch_size, shuffle=True,
                               num_workers=4, drop_last=True, seed=args.seed,
-                              process_index=pidx, process_count=pcount)
+                              process_index=pidx, process_count=pcount,
+                              worker_processes=loader_procs)
     val_loader = DataLoader(val_dataset, args.batch_size, shuffle=False,
                             num_workers=4, drop_last=False,
-                            process_index=pidx, process_count=pcount)
+                            process_index=pidx, process_count=pcount,
+                            worker_processes=loader_procs)
 
     # Data-parallel mesh when the batch divides the device count.
     n_dev = jax.device_count()
