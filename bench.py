@@ -168,27 +168,17 @@ def _throughput_cached(model, variables, width, height, views, iters=12):
     return iters / (time.perf_counter() - start)
 
 
-def _run_scene(forward, scene, views, width, height, n_views=5):
-    """One synthetic scan: model depths → PFMs → filter_depth → fused
-    PLY. Returns (root_dir, ply_path, cams, analytic depths,
-    fusion_secs). Caller owns/removes root_dir.
-
-    Depths are predicted at `n_views` (default 5 — reusing the exact
-    program the throughput stage already compiled; a cold compile of a
-    7-view signature costs minutes on this host). Fusion itself always
-    runs over the scan's full pair topology (`views` source views per
-    ref, read from pair.txt), so the fusion timing is a true
-    `views`-view measurement regardless of n_views."""
+def _predict_and_fuse(forward, root, views, width, height, n_views=5):
+    """Predict depths for every ref view of the scan at `root` (model
+    forward at `n_views`), write PFMs, run fusion. Returns (ply_path,
+    fusion_secs). Fusion always runs over the scan's full pair topology
+    (`views` source views per ref, read from pair.txt), so the fusion
+    timing is a true `views`-view measurement regardless of n_views."""
     import jax.numpy as jnp
-    from tests.synthetic_scene import build_scene_dir
     from itermvs_tpu.fusion import filter_depth
     from itermvs_tpu.io import save_pfm
     from itermvs_tpu.data import find_dataset_def
 
-    root = tempfile.mkdtemp(prefix="itermvs_bench_")
-    cams, depths = build_scene_dir(root, num_views=views, width=width,
-                                   height=height, write_gt_depth=False,
-                                   scene=scene)
     ds = find_dataset_def("custom")(root, n_views=n_views,
                                     img_wh=(width, height),
                                     uint8_level0=True)
@@ -213,7 +203,146 @@ def _run_scene(forward, scene, views, width, height, n_views=5):
     _, fusion_secs = filter_depth(root, root, ply, 1.0, 0.01, 0.3,
                                   (width, height), geo_mask_thres=3,
                                   verbose=False)
+    return ply, fusion_secs
+
+
+def _run_scene(forward, scene, views, width, height, n_views=5):
+    """One synthetic scan: build scene → model depths → PFMs →
+    filter_depth → fused PLY. Returns (root_dir, ply_path, cams,
+    analytic depths, fusion_secs). Caller owns/removes root_dir."""
+    from tests.synthetic_scene import build_scene_dir
+
+    root = tempfile.mkdtemp(prefix="itermvs_bench_")
+    cams, depths = build_scene_dir(root, num_views=views, width=width,
+                                   height=height, write_gt_depth=False,
+                                   scene=scene)
+    ply, fusion_secs = _predict_and_fuse(forward, root, views, width,
+                                         height, n_views)
     return root, ply, cams, depths, fusion_secs
+
+
+def _clone_scene(root):
+    """Second scan dir sharing the same rendered inputs via symlinks
+    (so a second prediction path can be fused + scored on the identical
+    scene without re-rendering)."""
+    clone = tempfile.mkdtemp(prefix="itermvs_bench_")
+    for name in ("images", "cams_1", "pair.txt"):
+        os.symlink(os.path.join(root, name), os.path.join(clone, name))
+    return clone
+
+
+def _cached_forward_fn(model, variables):
+    """Per-map forward through the feature-cached compute path
+    (batch-1 extract → pre-packed gather tables → match) — the exact
+    kernels eval.py's default pipeline runs. LRU reuse across maps
+    cannot change values (features are a pure per-view function), so
+    this is the right subject for the cached-path quality canary."""
+    import jax
+    import jax.numpy as jnp
+    from itermvs_tpu.models import Pipeline
+    from itermvs_tpu.ops.warping import pack_bilinear
+
+    extract = jax.jit(lambda x: model.apply(variables, x,
+                                            method=Pipeline.extract))
+    prepack = jax.jit(lambda f: {k: pack_bilinear(v) for k, v in f.items()})
+    match = jax.jit(lambda f, p, lo, hi: model.apply(
+        variables, f, p, lo, hi, method=Pipeline.match))
+
+    def forward(imgs, projs, dmin, dmax):
+        level0 = imgs["level_0"]                       # [1, V, H, W, 3]
+        views = level0.shape[1]
+        ref = extract(level0[:, 0])
+        srcs = [prepack(extract(level0[:, v])) for v in range(1, views)]
+        out = match((ref, *srcs), projs, dmin, dmax)
+        return out["depths_upsampled"], out["confidence_upsampled"]
+
+    return forward
+
+
+def _eval_e2e(ckpt, width=1152, height=864, views=10, n_views=5):
+    """maps/sec of the REAL eval.py save_depth loop (loader + feature
+    cache + software pipeline + PFM writers) on a synthetic scan.
+
+    First pass warms the jit/compile caches (eval.py builds its own jit
+    closures; the persistent compile cache makes that cheap), the
+    second pass is timed end-to-end — the number a user actually gets
+    from `bash eval_dtu.sh` per scan in steady state. On a 1-core host
+    this includes single-core image decode (see docs/PERFORMANCE.md),
+    so it is a host-bound LOWER bound on the device pipeline's rate."""
+    import eval as eval_mod
+    from tests.synthetic_scene import build_scene_dir
+
+    root = tempfile.mkdtemp(prefix="itermvs_bench_e2e_")
+    try:
+        build_scene_dir(root, num_views=views, width=width, height=height,
+                        write_gt_depth=False)
+        out = {}
+        for attempt in ("warm", "timed"):
+            outdir = os.path.join(root, f"out_{attempt}")
+            argv = ["--dataset=custom", "--batch_size=1",
+                    "--n_views", str(n_views), f"--testpath={root}",
+                    f"--outdir={outdir}", "--precision", "bfloat16",
+                    "--img_wh", str(width), str(height),
+                    "--loadckpt", ckpt]
+            args = eval_mod.parser.parse_args(argv)
+            t0 = time.perf_counter()
+            eval_mod.save_depth(args, (width, height))
+            out[attempt] = views / (time.perf_counter() - t0)
+        return out["timed"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _gather_roofline():
+    """ns/row of the dominant L1 iteration gather at 1152×864 under
+    real sweep indices vs the sequential (streaming) ceiling and the
+    random floor — live evidence for the gather-floor claim
+    (tools/exp_roofline.py is the full-suite version)."""
+    from tools.exp_roofline import _real_indices, probe
+
+    rows_t, lanes = 248832, 64
+    real = _real_indices(1, 1152, 864, view=1)
+    rng = np.random.RandomState(1)
+    out = {}
+    for reg, idx in (("real", real),
+                     ("seq", (np.arange(real.shape[0]) % rows_t)),
+                     ("rand", rng.randint(0, rows_t, real.shape[0]))):
+        out[reg] = round(probe(f"bench L1 {reg}", rows_t, lanes,
+                               idx.astype(np.int32), iters=8), 3)
+    return out
+
+
+def _footprint_fits():
+    """Multi-sample footprint-sharing fit fractions on the bench's own
+    synthetic geometry at 1600×1152 (see tools/exp_footprint.py): the
+    measured reason shared-row gathers cannot engage exactly."""
+    from tests.synthetic_scene import DEPTH_MAX, DEPTH_MIN, Z0, make_cameras
+    from tools.exp_footprint import OFFSETS, IS, fits, level_proj
+
+    cams = make_cameras(5, 1600, 1152, np.random.RandomState(0))
+    h4, w4 = 1152 // 8, 1600 // 8      # stride-2 subsample of the 1/4 grid
+    idmin, idmax = 1.0 / DEPTH_MIN, 1.0 / DEPTH_MAX
+    nd = np.full((h4, w4), ((1.0 / Z0) - idmax) / (idmin - idmax))
+    K, E_ref = cams[0]
+    out = {}
+    for level, groups in ((1, [("quad", (0, 1, 2, 3)), ("pair", (0, 1))]),
+                          (2, [("pair", (0, 1))]),
+                          (3, [("quad", (0, 1))])):
+        offs = np.asarray(OFFSETS[level]) * IS
+        s = np.clip(nd[None] + offs[:, None, None], 0.0, 1.0)
+        depth_s = 1.0 / (idmax + s * (idmin - idmax))
+        acc = {}
+        for v in range(1, 5):
+            px, py = level_proj(K, cams[v][1], E_ref, level, h4, w4, depth_s)
+            for gname, g in groups:
+                bx, by = np.floor(px[list(g)]), np.floor(py[list(g)])
+                for k in (3, 5):
+                    ok = (fits(bx.min(0), bx.max(0), k)
+                          & fits(by.min(0), by.max(0), k))
+                    key = f"l{level}_{gname}_{k}x{k}"
+                    acc[key] = acc.get(key, 0.0) + float(ok.mean()) / 4
+        out.update({k: round(v, 4) for k, v in acc.items()})
+    return out
 
 
 QUERY_CAP = 600_000   # NN-query subsample per direction (see dtu_score)
@@ -242,14 +371,14 @@ def _score_sphere(forward, views, width, height, roots):
     from itermvs_tpu.io import write_ply
     from itermvs_tpu.benchmark.dtu_score import score
 
-    root2, ply2, cams2, depths2, _ = _run_scene(
+    root2, ply2, cams2, depths2, fusion_secs = _run_scene(
         forward, "sphere_step", views, width, height)
     roots.append(root2)
     gt2 = gt_point_cloud(cams2, depths2, stride=2)
     gt2_ply = os.path.join(root2, "gt_sphere.ply")
     write_ply(gt2_ply, gt2, np.zeros_like(gt2, dtype=np.uint8))
     return score(ply2, gt2_ply, density=0.02, max_dist=1.0,
-                 query_cap=QUERY_CAP)
+                 query_cap=QUERY_CAP), fusion_secs
 
 
 def main():
@@ -329,6 +458,20 @@ def main():
         extra["maps_per_sec_1600x1152_feature_cached_vs_baseline"] = round(
             cached_eval / BASELINE_MAPS_PER_SEC, 3)
 
+    # ---- Footprint-sharing overlap facts (pure NumPy; round-5
+    # gather-floor evidence, see tools/exp_footprint.py). ----
+    fits = stage("footprint", 20, _footprint_fits)
+    if fits is not None:
+        extra["footprint_window_fit"] = fits
+
+    # ---- The REAL eval.py loop, end to end (loader + cache + PFMs).
+    if have_ckpt:
+        e2e = stage("eval_e2e", 200, lambda: _eval_e2e(ckpt))
+        if e2e is not None:
+            extra["eval_e2e_maps_per_sec"] = round(e2e, 3)
+            extra["eval_e2e_maps_per_sec_vs_baseline"] = round(
+                e2e / BASELINE_MAPS_PER_SEC, 3)
+
     # ---- Fusion + quality on a full-size synthetic scan. ----
     roots = []
     try:
@@ -338,6 +481,9 @@ def main():
         if plane is not None:
             root, ply, _, _, fusion_secs = plane
             roots.append(root)
+            # First fusion in this process: consistency-kernel compile
+            # and cache warmup included (honest cold start).
+            extra["fusion_sec_first_scene"] = round(fusion_secs, 3)
             extra["fusion_sec_per_scene_7view_1600x1152"] = round(
                 fusion_secs, 3)
             extra["fusion_vs_reference_cpu"] = round(
@@ -350,12 +496,37 @@ def main():
                     extra["synthetic_scene_overall_mm"] = round(
                         float(plane_score["overall_mm"]), 5)
 
-                sphere_score = stage(
+                # Cached-path quality canary: the feature-cached +
+                # pre-packed pipeline (eval.py's default) fused + scored
+                # on the SAME scene — the fastest path and the scored
+                # path must not silently diverge. Its fusion run is also
+                # the steady-state fusion sample (second fusion in this
+                # process: kernels compiled, source depths cached).
+                def _canary():
+                    clone = _clone_scene(root)
+                    roots.append(clone)
+                    cached_fwd = _cached_forward_fn(model, variables)
+                    ply2, secs2 = _predict_and_fuse(cached_fwd, clone, 7,
+                                                    1600, 1152)
+                    return _score_plane(clone, ply2), secs2
+
+                canary = stage("cached_quality", 150, _canary)
+                if canary is not None:
+                    cscore, steady_secs = canary
+                    extra["synthetic_scene_overall_mm_cached"] = round(
+                        float(cscore["overall_mm"]), 5)
+                    extra["fusion_sec_steady"] = round(steady_secs, 3)
+                    extra["fusion_steady_vs_reference_cpu"] = round(
+                        BASELINE_FUSION_SEC_PER_SCENE / steady_secs, 2)
+
+                sphere = stage(
                     "sphere_quality", 180,
                     lambda: _score_sphere(forward, 7, 1600, 1152, roots))
-                if sphere_score is not None:
+                if sphere is not None:
+                    sphere_score, sphere_secs = sphere
                     extra["synthetic_sphere_overall_mm"] = round(
                         float(sphere_score["overall_mm"]), 5)
+                    extra["fusion_sec_sphere_scene"] = round(sphere_secs, 3)
                     if plane_score is not None:
                         from itermvs_tpu.benchmark.dtu_score import aggregate
 
@@ -365,6 +536,13 @@ def main():
     finally:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
+
+    # ---- Gather roofline (live): real-index rate vs streaming/random
+    # ceilings at the dominant L1 shape (floor evidence; full suite in
+    # tools/exp_roofline.py + docs/PERFORMANCE.md). ----
+    roofline = stage("roofline", 90, _gather_roofline)
+    if roofline is not None:
+        extra["gather_ns_per_row_l1"] = roofline
 
     signal.alarm(0)
     extra["elapsed_sec"] = round(time.monotonic() - _START, 1)

@@ -35,7 +35,8 @@ from itermvs_tpu.models.blocks import Conv, ConvGRU, ConvReLU, ConvTranspose
 from itermvs_tpu.ops.depth_range import depth_unnormalization
 from itermvs_tpu.ops.resize import resize_bilinear, upsample_bilinear
 from itermvs_tpu.ops.grid_sample import (
-    BandedSource, PackedSource, SuperpixelSource, gather_corners,
+    FAST_GATHER_MAX_ROWS, BandedSource, PackedSource, SuperpixelSource,
+    gather_corners,
 )
 from itermvs_tpu.ops.warping import (
     fused_sweep_taps, group_corr, interleave_perm, pack_bilinear,
@@ -99,6 +100,40 @@ def windowed_expectation(probability: jnp.ndarray) -> jnp.ndarray:
     pw = probability * weight                                 # [B,H,W,NUM_BINS]
     regress = jnp.sum(pw * bins, axis=-1) / (1e-6 + jnp.sum(pw, axis=-1))
     return (regress / (NUM_BINS - 1.0))[..., None]            # [B, H, W, 1]
+
+
+def chunked_warp_corr(packed, ref, flat_idx, taps, shape, groups):
+    """Gather + bilinear taps + group correlation, chunked on SAMPLE
+    boundaries so each gather emits at most FAST_GATHER_MAX_ROWS rows.
+
+    XLA:TPU fuses the tap-sum epilogue into the gather fusion only
+    while the emitted block stays within the 2^15-sublane-tile budget
+    that also governs table residency: above it (e.g. the 4-sample
+    level-1/2 iteration gathers at 1600×1152 emit 460800 rows, the init
+    sweep 921600) the raw [rows, kC] block is materialized to HBM and
+    relayed through separate column-major copies + sum fusions —
+    ~30 ms/step of pure relayout in the round-5 device trace. Chunking
+    is exact: each sample's gather → taps → f32 group mean is
+    independent, so per-chunk evaluation + concat along the sample axis
+    is the same arithmetic (pinned by the parity tests).
+
+    Args:
+      flat_idx: [B, N, H·W] int32 row indices; taps: 4× same shape.
+      shape: (n, h, w, c) of the warped block.
+    Returns correlation [B, N, H, W, G] (float32)."""
+    n, h, w, c = shape
+    b = flat_idx.shape[0]
+    hw = h * w
+    chunk = max(1, min(n, FAST_GATHER_MAX_ROWS // hw))
+    outs = []
+    for s0 in range(0, n, chunk):
+        s1 = min(s0 + chunk, n)
+        warped = gather_corners(
+            packed, flat_idx[:, s0:s1].reshape(b, -1),
+            *[t[:, s0:s1].reshape(b, -1) for t in taps],
+        ).reshape(b, s1 - s0, h, w, c)
+        outs.append(group_corr(warped, ref, groups))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 class PixelViewWeight(nn.Module):
@@ -198,12 +233,11 @@ class Evaluation(nn.Module):
                 rel_projs[:, :, None], depth_samples, (0,) * n_,
                 (src_features[0].src_shape[1:3],), table_dtype)
             per_view = [
-                group_corr(
-                    gather_corners(
-                        src_features[v], flat_idx[:, v].reshape(b_, -1),
-                        *[t[:, v].reshape(b_, -1) for t in taps],
-                    ).reshape(b_, n_, h_, w_, c),
-                    ref_feature, GROUPS)
+                chunked_warp_corr(
+                    src_features[v], ref_feature,
+                    flat_idx[:, v].reshape(b_, n_, h_ * w_),
+                    [t[:, v].reshape(b_, n_, h_ * w_) for t in taps],
+                    (n_, h_, w_, c), GROUPS)
                 for v in range(num_views)
             ]
         corr = jnp.stack(per_view, axis=1)                   # [B,V,N,H,W,G]
@@ -301,12 +335,12 @@ class Evaluation(nn.Module):
                 # keeps peak memory at one view's correlation.
                 agg = None
                 for v in range(num_views):
-                    idx_vl = flat_idx[:, v, off:off + n].reshape(b, -1)
-                    t_vl = [t[:, v, off:off + n].reshape(b, -1) for t in taps]
-                    warped = gather_corners(
-                        src_features[key][v], idx_vl, *t_vl
-                    ).reshape(b, n, h, w, c)
-                    corr_v = group_corr(warped, ref, GROUPS)
+                    idx_vl = flat_idx[:, v, off:off + n].reshape(b, n, h * w)
+                    t_vl = [t[:, v, off:off + n].reshape(b, n, h * w)
+                            for t in taps]
+                    corr_v = chunked_warp_corr(
+                        src_features[key][v], ref, idx_vl, t_vl,
+                        (n, h, w, c), GROUPS)
                     wv = w_hw[:, v][:, None, :, :, None]       # [B,1,H,W,1]
                     agg = corr_v * wv if agg is None else agg + corr_v * wv
                 aggs[level] = agg / weight_sum

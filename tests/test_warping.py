@@ -383,3 +383,32 @@ def test_fused_sweep_taps_matches_per_level(rng):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-5)
         off += n
+
+
+def test_chunked_warp_corr_matches_single_chunk(rng, monkeypatch):
+    """Sample-chunked gather+corr (models/itermvs.py:chunked_warp_corr,
+    engaged when a sweep's gather output exceeds FAST_GATHER_MAX_ROWS,
+    e.g. 1600x1152 level 1/2 and every init sweep) is exact: per-sample
+    gather -> taps -> f32 group mean is independent, so chunk + concat
+    must equal the single-chunk evaluation bit-for-bit."""
+    from itermvs_tpu.models import itermvs as m
+    from itermvs_tpu.ops.grid_sample import pack_corners
+
+    b, n, h, w, c = 2, 6, 12, 16, 16
+    h1, w1 = 24, 32
+    src = jnp.asarray(rng.rand(b, h1, w1, c).astype(np.float32))
+    ref = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    packed = pack_corners(src)
+    flat_idx = jnp.asarray(
+        rng.randint(0, h1 * w1, size=(b, n, h * w)).astype(np.int32))
+    taps = [jnp.asarray(rng.rand(b, n, h * w).astype(np.float32))
+            for _ in range(4)]
+
+    single = m.chunked_warp_corr(packed, ref, flat_idx, taps,
+                                 (n, h, w, c), m.GROUPS)
+    # Force chunking at this tiny shape: limit < n*h*w but >= h*w.
+    monkeypatch.setattr(m, "FAST_GATHER_MAX_ROWS", 2 * h * w)
+    chunked = m.chunked_warp_corr(packed, ref, flat_idx, taps,
+                                  (n, h, w, c), m.GROUPS)
+    assert single.shape == chunked.shape == (b, n, h, w, m.GROUPS)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
