@@ -519,6 +519,13 @@ def main():
                     extra["fusion_steady_vs_reference_cpu"] = round(
                         BASELINE_FUSION_SEC_PER_SCENE / steady_secs, 2)
 
+                # Gather roofline (live): real-index rate vs streaming/
+                # random ceilings at the dominant L1 shape (floor
+                # evidence; full suite in tools/exp_roofline.py).
+                roofline = stage("roofline", 90, _gather_roofline)
+                if roofline is not None:
+                    extra["gather_ns_per_row_l1"] = roofline
+
                 sphere = stage(
                     "sphere_quality", 180,
                     lambda: _score_sphere(forward, 7, 1600, 1152, roots))
@@ -536,13 +543,6 @@ def main():
     finally:
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
-
-    # ---- Gather roofline (live): real-index rate vs streaming/random
-    # ceilings at the dominant L1 shape (floor evidence; full suite in
-    # tools/exp_roofline.py + docs/PERFORMANCE.md). ----
-    roofline = stage("roofline", 90, _gather_roofline)
-    if roofline is not None:
-        extra["gather_ns_per_row_l1"] = roofline
 
     signal.alarm(0)
     extra["elapsed_sec"] = round(time.monotonic() - _START, 1)

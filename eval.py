@@ -192,8 +192,13 @@ def _write_outputs(outdir, filename, depth_est, confidence):
 def save_depth(args, img_wh):
     dataset = apply_scan_shard(build_dataset(args, img_wh),
                                parse_scan_shard(args.scan_shard))
+    # Decode in worker processes on multi-core hosts (the image decode +
+    # pyramid resize is CPU-bound; threads only overlap IO waits — see
+    # data/loader.py). 1-core hosts keep the thread pool.
+    ncpu = os.cpu_count() or 1
     loader = DataLoader(dataset, args.batch_size, shuffle=False, num_workers=4,
-                        drop_last=False)
+                        drop_last=False,
+                        worker_processes=min(4, ncpu - 1) if ncpu > 1 else 0)
 
     model = Pipeline(iteration=args.iteration, test=True,
                      dtype=jnp.dtype(args.precision))
