@@ -35,7 +35,8 @@ from itermvs_tpu.models.blocks import Conv, ConvGRU, ConvReLU, ConvTranspose
 from itermvs_tpu.ops.depth_range import depth_unnormalization
 from itermvs_tpu.ops.resize import resize_bilinear, upsample_bilinear
 from itermvs_tpu.ops.grid_sample import (
-    FAST_GATHER_MAX_ROWS, BandedSource, PackedSource, SuperpixelSource,
+    FAST_GATHER_MAX_ROWS, BandedSource, PackedSource, PairSource,
+    SuperpixelSource,
     gather_corners,
 )
 from itermvs_tpu.ops.warping import (
@@ -500,7 +501,8 @@ class IterMVS(nn.Module):
         # permutes channels before packing, so pre-packed tables are
         # only accepted in natural order.
         def _pack(view, key):
-            if isinstance(view, (PackedSource, BandedSource, SuperpixelSource)):
+            if isinstance(view, (PackedSource, BandedSource, SuperpixelSource,
+                                 PairSource)):
                 if self.interleave:
                     raise ValueError(
                         "pre-packed sources are incompatible with "

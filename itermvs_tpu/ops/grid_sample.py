@@ -123,11 +123,48 @@ class SuperpixelSource(NamedTuple):
         return 4
 
 
-# Superpixel packing kill-switch for in-context A/B measurement
-# (ITERMVS_SUPERPIXEL=0 restores row banding above the gather limit).
+class PairSource(NamedTuple):
+    """1×2-pair 6-slot packed source.
+
+    data: [B, H, ceil(W/2), 6·C]; slot (dy, dx), dy ∈ {0, 1},
+      dx ∈ {0, 1, 2}, of pair (y, j) holds src[y+dy, 2j+dx],
+      zero-filled outside the image.
+    shape: the VIRTUAL corner-packed shape (B, H, W, 4·C), as for
+      `SuperpixelSource`.
+
+    Any bilinear footprint (base (y, x), spanning y..y+1, x..x+1) lies
+    inside the 2×3 pixel window of pair (y, x//2), so ONE row gather of
+    a 2×-fewer-row table covers it. Preferred over the 9-slot
+    superpixel when the pair table fits the fast-gather row limit
+    (arithmetically only possible at batch 1 — B·H·ceil(W/2) exceeds
+    the oversize threshold H·W for B >= 2 — i.e. the eval case):
+    6·C lanes stay within one 128-lane tile at C ≤ 21 where 9·C spills
+    into a second tile, and gather cost tracks lane TILES touched per
+    row — measured 2.96 vs 5.85 ns/row at the 1600×1152 level-1 shape
+    ([230400, 96] pair vs [115200, 144] superpixel, C=16;
+    tools/exp_lane_width.py). Below the row limit flat 4-corner packing
+    still wins (4·C = 64 lanes, fewer table bytes), so
+    `pack_corners_fast` never picks pair there."""
+    data: jnp.ndarray
+    shape: tuple
+
+    @property
+    def src_shape(self):
+        return self.shape
+
+    @property
+    def corners(self):
+        return 4
+
+
+# Superpixel/pair packing kill-switches for in-context A/B measurement
+# (ITERMVS_SUPERPIXEL=0 restores row banding above the gather limit;
+# ITERMVS_PAIR=0 restores 2×2 superpixel packing where 1×2 pair would
+# engage).
 import os as _os
 
 SUPERPIXEL_PACKING = _os.environ.get("ITERMVS_SUPERPIXEL", "1") != "0"
+PAIR_PACKING = _os.environ.get("ITERMVS_PAIR", "1") != "0"
 
 
 # Packed tables cross jit boundaries (the eval feature cache holds them
@@ -151,6 +188,11 @@ jax.tree_util.register_pytree_node(
     lambda p: ((p.data,), p.shape),
     lambda shape, children: SuperpixelSource(children[0], shape),
 )
+jax.tree_util.register_pytree_node(
+    PairSource,
+    lambda p: ((p.data,), p.shape),
+    lambda shape, children: PairSource(children[0], shape),
+)
 
 
 def pack_corners_fast(src: jnp.ndarray, corners: int = 4):
@@ -158,16 +200,21 @@ def pack_corners_fast(src: jnp.ndarray, corners: int = 4):
     limit (decided once at pack time; reused by every warp):
 
     * table fits flat -> `PackedSource` (one fast gather);
-    * a single sample's H·W exceeds the limit but its superpixel table
-      fits -> `SuperpixelSource` (one fast gather of 4×-fewer rows —
-      beats the 2-band masked scheme's 2× redundant gathered rows);
+    * a single sample's H·W exceeds the limit but its 1×2-pair table
+      fits -> `PairSource` (one fast gather of 2×-fewer, narrower rows
+      — see the lane-tile measurement in the class docstring);
+    * pair doesn't fit but the 2×2 superpixel table does ->
+      `SuperpixelSource` (one fast gather of 4×-fewer rows — beats the
+      2-band masked scheme's 2× redundant gathered rows);
     * otherwise -> `BandedSource` (sample-split, then row-banded)."""
     if (SUPERPIXEL_PACKING and corners == 4 and src.ndim == 4):
         b, h, w, _ = src.shape
         h2, w2 = -(-h // 2), -(-w // 2)
-        if (h * w > FAST_GATHER_MAX_ROWS
-                and b * h2 * w2 <= FAST_GATHER_MAX_ROWS):
-            return pack_superpixel(src)
+        if h * w > FAST_GATHER_MAX_ROWS:
+            if PAIR_PACKING and b * h * w2 <= FAST_GATHER_MAX_ROWS:
+                return pack_pair(src)
+            if b * h2 * w2 <= FAST_GATHER_MAX_ROWS:
+                return pack_superpixel(src)
     packed = pack_corners(src, corners)
     b, h, w, ck = packed.data.shape
     if corners != 4 or b * h * w <= FAST_GATHER_MAX_ROWS:
@@ -238,6 +285,34 @@ def pack_superpixel(src: jnp.ndarray) -> SuperpixelSource:
     ]
     return SuperpixelSource(jnp.concatenate(slots, axis=-1),
                             (b, h, w, 4 * c))
+
+
+def pack_pair(src: jnp.ndarray) -> PairSource:
+    """1×2-pair-pack `[B, H, W, C]` features (6 slots per row).
+
+    Slot (dy, dx) of pair (y, j) holds src[y+dy, 2j+dx] with the same
+    zero fill outside the image as `pack_corners`' shifted copies, so
+    out-of-range bilinear corners contribute exactly 0.
+
+    Construction uses only regular data movement (as `pack_superpixel`):
+    one minor-axis reshape folds x-even/x-odd into lane blocks, and the
+    dy == 1 / dx == 2 slots are whole-array one-row / one-pair shifts of
+    those blocks."""
+    b, h, w, c = src.shape
+    w2 = -(-w // 2)
+    pad = jnp.pad(src, ((0, 0), (0, 0), (0, 2 * w2 - w), (0, 0)))
+    # [B, H, W2, 2C]: lane blocks x-even, x-odd (contiguous minor fold).
+    blk = pad.reshape(b, h, w2, 2 * c)
+    # One-pair / one-row shifts with zero fill (pixel 2·w2 / row h is
+    # outside the image, so the vacated edge is exactly 0).
+    right = jnp.pad(blk[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    below = jnp.pad(blk[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    below_right = jnp.pad(below[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    slots = [
+        blk[..., :c], blk[..., c:], right[..., :c],              # dy = 0
+        below[..., :c], below[..., c:], below_right[..., :c],    # dy = 1
+    ]
+    return PairSource(jnp.concatenate(slots, axis=-1), (b, h, w, 4 * c))
 
 
 def _axis_taps(p: jnp.ndarray, size: int):
@@ -357,13 +432,50 @@ def _gather_superpixel(packed: SuperpixelSource, flat_idx: jnp.ndarray,
     return out                                        # [B, P, C]
 
 
+def _gather_pair(packed: PairSource, flat_idx: jnp.ndarray,
+                 w00, w01, w10, w11) -> jnp.ndarray:
+    """One row gather of the 1×2-pair table + 6-slot weighted sum.
+
+    The base corner (y, x) = divmod(flat_idx, W) lands in slot
+    (0, x − 2·(x//2)) of pair (y, x//2), and corner (i, j) of the
+    bilinear footprint in slot (i, px+j) — so the four tap products
+    scatter to x-parity-selected slots with 1/0 factors (dy needs no
+    parity: pair rows are per-y) and every other slot weight is exactly
+    0. Per element the multiplies and the accumulation order are
+    identical to `gather_corners`' 4-slot path, so the result is
+    bit-equal (same argument as `_gather_superpixel`)."""
+    b, h, w, ck = packed.shape
+    c = ck // 4
+    _, _, w2, _ = packed.data.shape
+    by = flat_idx // w
+    bx = flat_idx - by * w
+    ix = bx // 2
+    pr_idx = by * w2 + ix
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h * w2))[:, None] if b > 1 else 0
+    table = packed.data.reshape(b * h * w2, 6 * c)
+    v = _flat_take(table, pr_idx + boff).reshape(b, -1, 6 * c)
+    dt = table.dtype
+    px = (bx - 2 * ix).astype(dt)                    # x parity, 0. or 1.
+    ox = 1 - px
+    # Slot (dy, dx) weight = w_{dy, dx-px} when dx-px in {0, 1}, else 0.
+    w6 = (
+        ox * w00, ox * w01 + px * w00, px * w01,     # dy = 0
+        ox * w10, ox * w11 + px * w10, px * w11,     # dy = 1
+    )
+    out = None
+    for k, wk in enumerate(w6):
+        term = v[..., k * c:(k + 1) * c] * wk[..., None]
+        out = term if out is None else out + term
+    return out                                        # [B, P, C]
+
+
 def gather_corners(packed, flat_idx: jnp.ndarray, w00, w01, w10, w11
                    ) -> jnp.ndarray:
     """Row-gather a 4-corner packed table and apply the bilinear taps.
 
     Args:
-      packed: `PackedSource` / `BandedSource` / `SuperpixelSource` with
-        corners == 4.
+      packed: `PackedSource` / `BandedSource` / `SuperpixelSource` /
+        `PairSource` with corners == 4.
       flat_idx: [B, P] int32 base-corner row indices, within-sample.
       w00..w11: [B, P] tap weights, already in the table dtype.
 
@@ -371,6 +483,8 @@ def gather_corners(packed, flat_idx: jnp.ndarray, w00, w01, w10, w11
     contiguous lane-slices (see gather_bilinear for why slices beat a
     corner-axis reduce).
     """
+    if isinstance(packed, PairSource):
+        return _gather_pair(packed, flat_idx, w00, w01, w10, w11)
     if isinstance(packed, SuperpixelSource):
         return _gather_superpixel(packed, flat_idx, w00, w01, w10, w11)
     b, h, w, ck = packed.src_shape
@@ -402,7 +516,7 @@ def gather_bilinear(packed: PackedSource, px: jnp.ndarray, py: jnp.ndarray
     out_shape = px.shape[1:]
     px = px.reshape(b, -1)
     py = py.reshape(b, -1)
-    if banded or isinstance(packed, SuperpixelSource):
+    if banded or isinstance(packed, (SuperpixelSource, PairSource)):
         data = packed.bands[0] if banded else packed.data  # dtype carrier
         table = None                      # corners==4 path handles both
     else:

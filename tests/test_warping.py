@@ -276,6 +276,7 @@ def test_superpixel_gather_matches_packed(rng, monkeypatch):
         px = jnp.asarray(rng.uniform(-3, w + 2, (b, 5, h, w)).astype(np.float32))
         py = jnp.asarray(rng.uniform(-3, h + 2, (b, 5, h, w)).astype(np.float32))
         ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py))
+        monkeypatch.setattr(gs, "PAIR_PACKING", False)   # pair wins otherwise
         monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", h * w - 1)
         sp = gs.pack_corners_fast(src)
         assert isinstance(sp, gs.SuperpixelSource)
@@ -320,10 +321,104 @@ def test_superpixel_warp_corr_matches(rng, monkeypatch):
 
     base = np.asarray(warp_corr(jnp.asarray(src), jnp.asarray(ref_fea),
                                 jnp.asarray(proj), jnp.asarray(depth), g))
+    monkeypatch.setattr(gs, "PAIR_PACKING", False)       # pair wins otherwise
     monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", h * w - 1)
     sp = gs.pack_corners_fast(jnp.asarray(src))
     assert isinstance(sp, gs.SuperpixelSource)
     got = np.asarray(warp_corr_packed(sp, jnp.asarray(ref_fea),
+                                      jnp.asarray(proj), jnp.asarray(depth), g))
+    np.testing.assert_allclose(got, base, atol=1e-6)
+
+
+def test_pair_gather_matches_packed(rng, monkeypatch):
+    """The 1×2-pair 6-slot packing (preferred when a sample's H·W
+    exceeds the fast-gather row limit and the half-width pair table
+    fits) must be BIT-equal to the flat corner-packed gather: the four
+    tap products scatter to x-parity-selected slots with exact 1/0
+    factors and the accumulation order is unchanged."""
+    import sys
+
+    import itermvs_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["itermvs_tpu.ops.grid_sample"]
+
+    # Packing/gather math parity, including odd sizes and batch > 1
+    # (pack_pair directly: the gate itself only ever picks pair at
+    # batch 1 — see below).
+    for b, h, w, c in ((1, 20, 30, 8), (3, 21, 17, 16)):
+        src = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+        px = jnp.asarray(rng.uniform(-3, w + 2, (b, 5, h, w)).astype(np.float32))
+        py = jnp.asarray(rng.uniform(-3, h + 2, (b, 5, h, w)).astype(np.float32))
+        ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py))
+        pr = gs.pack_pair(src)
+        assert pr.data.shape == (b, h, -(-w // 2), 6 * c)
+        got = np.asarray(gs.gather_bilinear(pr, px, py))
+        np.testing.assert_array_equal(got, ref)
+
+    # Gate: a batch-1 oversized sample whose half-width pair table fits
+    # arrives as a PairSource. (At batch >= 2 the pair table B*H*ceil(W/2)
+    # always exceeds the oversize threshold H*W, so the gate falls
+    # through to superpixel/banded — pair is the eval batch-1 case.)
+    b, h, w, c = 1, 20, 30, 8
+    src = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-3, w + 2, (b, 5, h, w)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-3, h + 2, (b, 5, h, w)).astype(np.float32))
+    ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py))
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", h * w - 1)
+    pr = gs.pack_corners_fast(src)
+    assert isinstance(pr, gs.PairSource)
+    got = np.asarray(gs.gather_bilinear(pr, px, py))
+    np.testing.assert_array_equal(got, ref)
+    src3 = jnp.asarray(rng.rand(3, 21, 17, 16).astype(np.float32))
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 21 * 17 - 1)
+    assert isinstance(gs.pack_corners_fast(src3), gs.SuperpixelSource)
+
+    # bfloat16 tables stay bit-equal too (weights applied in table dtype).
+    src = jnp.asarray(rng.rand(1, 30, 40, 16).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    px = jnp.asarray(rng.uniform(-2, 41, (1, 3, 30, 40)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-2, 31, (1, 3, 30, 40)).astype(np.float32))
+    ref = np.asarray(gs.gather_bilinear(gs.pack_corners(src), px, py)
+                     .astype(jnp.float32))
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 1199)
+    pr = gs.pack_corners_fast(src)
+    assert isinstance(pr, gs.PairSource)
+    got = np.asarray(gs.gather_bilinear(pr, px, py).astype(jnp.float32))
+    np.testing.assert_array_equal(got, ref)
+
+    # Fallbacks: pair table over the limit -> superpixel; superpixel
+    # over too -> banded; ITERMVS_PAIR=0 -> superpixel where pair fits.
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 550)   # 600 > 550 >= 300
+    assert isinstance(gs.pack_corners_fast(src), gs.SuperpixelSource)
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 100)
+    assert isinstance(gs.pack_corners_fast(src), gs.BandedSource)
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 1199)
+    monkeypatch.setattr(gs, "PAIR_PACKING", False)
+    assert isinstance(gs.pack_corners_fast(src), gs.SuperpixelSource)
+
+
+def test_pair_warp_corr_matches(rng, monkeypatch):
+    """warp_corr on a PairSource (through fused taps + group corr, the
+    in-model path) matches the unbanded packed source."""
+    import sys
+
+    import itermvs_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["itermvs_tpu.ops.grid_sample"]
+    from itermvs_tpu.ops.warping import warp_corr, warp_corr_packed
+
+    b, c, g, n = 1, 16, 8, 3       # pair engages at batch 1 (see gate)
+    h = w = 12
+    src = rng.rand(b, h, w, c).astype(np.float32)
+    ref_fea = rng.rand(b, h, w, c).astype(np.float32)
+    proj = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    proj[:, 0, 3] = 0.3
+    depth = rng.uniform(2, 4, (b, n, h, w)).astype(np.float32)
+
+    base = np.asarray(warp_corr(jnp.asarray(src), jnp.asarray(ref_fea),
+                                jnp.asarray(proj), jnp.asarray(depth), g))
+    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", h * w - 1)
+    pr = gs.pack_corners_fast(jnp.asarray(src))
+    assert isinstance(pr, gs.PairSource)
+    got = np.asarray(warp_corr_packed(pr, jnp.asarray(ref_fea),
                                       jnp.asarray(proj), jnp.asarray(depth), g))
     np.testing.assert_allclose(got, base, atol=1e-6)
 
