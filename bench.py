@@ -265,10 +265,14 @@ def _eval_e2e(ckpt, width=1152, height=864, views=10, n_views=5):
 
     First pass warms the jit/compile caches (eval.py builds its own jit
     closures; the persistent compile cache makes that cheap), the
-    second pass is timed end-to-end — the number a user actually gets
-    from `bash eval_dtu.sh` per scan in steady state. On a 1-core host
-    this includes single-core image decode (see docs/PERFORMANCE.md),
-    so it is a host-bound LOWER bound on the device pipeline's rate."""
+    second pass is timed end-to-end. Returns (whole-pass rate incl.
+    model load + first dispatch, steady rate over batches 1..n). On
+    this tunnel-attached rig the steady rate is DOWNLOAD-bound, not
+    compute-bound: each map fetches ~8 MB of f32 depth+confidence over
+    a ~35 MB/s tunnel download path plus ~26 ms dispatch RTTs (see
+    docs/PERFORMANCE.md "Eval e2e over the tunnel"); on a PCIe-attached
+    TPU host the fetch is sub-ms and the loop approaches the modeled
+    cached rate."""
     import eval as eval_mod
     from tests.synthetic_scene import build_scene_dir
 
@@ -277,6 +281,7 @@ def _eval_e2e(ckpt, width=1152, height=864, views=10, n_views=5):
         build_scene_dir(root, num_views=views, width=width, height=height,
                         write_gt_depth=False)
         out = {}
+        steady = None
         for attempt in ("warm", "timed"):
             outdir = os.path.join(root, f"out_{attempt}")
             argv = ["--dataset=custom", "--batch_size=1",
@@ -286,9 +291,11 @@ def _eval_e2e(ckpt, width=1152, height=864, views=10, n_views=5):
                     "--loadckpt", ckpt]
             args = eval_mod.parser.parse_args(argv)
             t0 = time.perf_counter()
-            eval_mod.save_depth(args, (width, height))
+            batch_secs = eval_mod.save_depth(args, (width, height))
             out[attempt] = views / (time.perf_counter() - t0)
-        return out["timed"]
+            if len(batch_secs) > 1:
+                steady = (len(batch_secs) - 1) / sum(batch_secs[1:])
+        return out["timed"], steady
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -468,9 +475,12 @@ def main():
     if have_ckpt:
         e2e = stage("eval_e2e", 200, lambda: _eval_e2e(ckpt))
         if e2e is not None:
-            extra["eval_e2e_maps_per_sec"] = round(e2e, 3)
+            e2e_cold, e2e_steady = e2e
+            extra["eval_e2e_maps_per_sec"] = round(e2e_cold, 3)
             extra["eval_e2e_maps_per_sec_vs_baseline"] = round(
-                e2e / BASELINE_MAPS_PER_SEC, 3)
+                e2e_cold / BASELINE_MAPS_PER_SEC, 3)
+            if e2e_steady is not None:
+                extra["eval_e2e_steady_maps_per_sec"] = round(e2e_steady, 3)
 
     # ---- Fusion + quality on a full-size synthetic scan. ----
     roots = []

@@ -310,11 +310,14 @@ def save_depth(args, img_wh):
             depths, confs = forward(imgs, projs, dmin, dmax)
         return sample, n_real, depths, confs
 
+    batch_secs = []
+
     def finalize(batch_idx, start, sample, n_real, depths, confs):
         """Device→host fetch + PFM writer handoff for one batch."""
         depths = np.asarray(depths)[:n_real, ..., 0]
         confs = np.asarray(confs)[:n_real, ..., 0]
-        print(f"Iter {batch_idx}/{total}, time = {time.time() - start:.3f}")
+        batch_secs.append(time.time() - start)
+        print(f"Iter {batch_idx}/{total}, time = {batch_secs[-1]:.3f}")
 
         # PFM writes overlap the next batch's forward (device compute
         # continues while the writer thread drains).
@@ -345,6 +348,9 @@ def save_depth(args, img_wh):
     writer_pool.shutdown(wait=True)
     for fut in write_futures:
         fut.result()
+    # Per-batch wall times (first entry includes compile/first dispatch);
+    # the CLI ignores this — bench.py records a steady-state rate from it.
+    return batch_secs
 
 
 def run_fusion(args, img_wh):

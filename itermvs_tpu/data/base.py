@@ -17,6 +17,8 @@ INTER_LINEAR resize to the target, then INTER_LINEAR /2 /4 /8 pyramid
 from __future__ import annotations
 
 import os
+import threading
+from collections import OrderedDict
 
 import numpy as np
 
@@ -61,6 +63,75 @@ def image_pyramid(img: np.ndarray, img_wh: tuple[int, int] | None,
         "level_1": cv2.resize(np_img, (w // 2, h // 2), interpolation=cv2.INTER_LINEAR),
         "level_0": level0,
     }
+
+
+class _PyramidCache:
+    """Per-process LRU of decoded eval image pyramids.
+
+    In the eval loaders every image appears in ~n_views samples (once
+    as the reference, and as a source in each neighbor's view list),
+    and PNG/JPEG decode + the 4-level resize pyramid dominates host
+    time per sample (measured ~2.2 s/map vs 65 ms of device time on a
+    1-core host, bench `eval_e2e_maps_per_sec`). Eval pyramids are a
+    pure function of (path, img_wh, uint8_level0) — no jitter — so an
+    LRU keyed on those plus (mtime, size) cuts decode work ~n_views×.
+    Entries are returned by reference and marked read-only
+    (`stack_views` copies into the batch). Thread-safe for the
+    thread-pool loader; process-pool workers each hold their own.
+    Capacity `ITERMVS_DECODE_CACHE_MB` (default 256; 0 disables).
+    Training loaders do NOT use this (ColorJitter randomizes pixels)."""
+
+    def __init__(self, cap_mb: float):
+        self.cap = cap_mb * 1e6
+        self.size = 0
+        self.lock = threading.Lock()
+        self.data: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, path, img_wh, uint8_level0: bool):
+        """(pyramid dict, original (w, h)) for an image file."""
+        st = os.stat(path)
+        key = (os.path.abspath(path),
+               tuple(img_wh) if img_wh is not None else None,
+               bool(uint8_level0), st.st_mtime_ns, st.st_size)
+        with self.lock:
+            entry = self.data.get(key)
+            if entry is not None:
+                self.hits += 1
+                self.data.move_to_end(key)
+                return entry
+            self.misses += 1
+        from PIL import Image
+
+        pil = Image.open(path)
+        orig_wh = pil.size
+        pyr = image_pyramid(pil, img_wh, uint8_level0=uint8_level0)
+        for a in pyr.values():
+            a.setflags(write=False)
+        entry = (pyr, orig_wh)
+        if self.cap <= 0:
+            return entry
+        nbytes = sum(a.nbytes for a in pyr.values())
+        with self.lock:
+            if key not in self.data:      # concurrent miss: first wins
+                self.data[key] = entry
+                self.size += nbytes
+                while self.size > self.cap and len(self.data) > 1:
+                    _, (old, _) = self.data.popitem(last=False)
+                    self.size -= sum(a.nbytes for a in old.values())
+        return entry
+
+
+_pyramid_cache = _PyramidCache(
+    float(os.environ.get("ITERMVS_DECODE_CACHE_MB", "256")))
+
+
+def cached_image_pyramid(path, img_wh, uint8_level0: bool = False):
+    """LRU-cached decode + `image_pyramid` for EVAL loaders.
+
+    Returns (pyramid dict of read-only arrays, original (w, h))."""
+    return _pyramid_cache.get(path, img_wh, uint8_level0)
 
 
 def nearest_pyramid(arr: np.ndarray) -> dict:

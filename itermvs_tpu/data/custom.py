@@ -11,7 +11,7 @@ import os
 import numpy as np
 
 from itermvs_tpu.data.base import (
-    MVSDatasetBase, image_pyramid, proj_matrix_pyramid, stack_views,
+    MVSDatasetBase, cached_image_pyramid, proj_matrix_pyramid, stack_views,
 )
 
 
@@ -37,10 +37,9 @@ class MVSDataset(MVSDatasetBase):
         for i, vid in enumerate(view_ids):
             img_path = os.path.join(self.datapath, f"images/{vid:08d}.jpg")
             cam_path = os.path.join(self.datapath, f"cams_1/{vid:08d}_cam.txt")
-            pil = self.read_image(img_path)
-            ow, oh = pil.size
-            imgs.append(image_pyramid(pil, self.img_wh,
-                                      uint8_level0=self.uint8_level0))
+            pyr, (ow, oh) = cached_image_pyramid(
+                img_path, self.img_wh, uint8_level0=self.uint8_level0)
+            imgs.append(pyr)
 
             intrinsics, extrinsics, dmin, dmax = self.read_cam(cam_path)
             intrinsics = intrinsics.copy()

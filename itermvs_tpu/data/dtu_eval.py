@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from itermvs_tpu.data.base import (
-    MVSDatasetBase, image_pyramid, proj_matrix_pyramid, stack_views,
+    MVSDatasetBase, cached_image_pyramid, proj_matrix_pyramid, stack_views,
 )
 
 
@@ -51,8 +51,9 @@ class MVSDataset(MVSDatasetBase):
         for i, vid in enumerate(view_ids):
             img_path = os.path.join(self.datapath, scan, f"images/{vid:0>8}.jpg")
             cam_path = os.path.join(self.datapath, scan, f"cams_1/{vid:0>8}_cam.txt")
-            imgs.append(image_pyramid(self.read_image(img_path), self.img_wh,
-                                      uint8_level0=self.uint8_level0))
+            pyr, _ = cached_image_pyramid(img_path, self.img_wh,
+                                          uint8_level0=self.uint8_level0)
+            imgs.append(pyr)
 
             intrinsics, extrinsics, dmin, dmax = self.read_cam(cam_path)
             intrinsics = intrinsics.copy()

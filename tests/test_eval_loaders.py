@@ -165,3 +165,61 @@ def test_scan_shard_helpers():
     assert apply_scan_shard(FakeDS(list(single)), (0, 2)).metas == single
     assert apply_scan_shard(FakeDS(list(single)), (1, 2)).metas == []
     assert apply_scan_shard(FakeDS(list(single)), None).metas == single
+
+
+def test_decode_cache_hits_and_parity(tmp_path, monkeypatch):
+    """The eval pyramid LRU must (a) return arrays identical to a fresh
+    decode, (b) actually hit when the same image recurs across samples
+    (each image serves ~n_views metas), and (c) bypass cleanly when
+    disabled."""
+    from itermvs_tpu.data import base as dbase
+    from itermvs_tpu.data.base import _PyramidCache, image_pyramid
+
+    scan = tmp_path / "scan1"
+    rng = np.random.RandomState(0)
+    _write_eval_scan(str(scan), 3, 64, 48, rng)
+    img = str(scan / "images" / "00000000.jpg")
+
+    cache = _PyramidCache(64)
+    monkeypatch.setattr(dbase, "_pyramid_cache", cache)
+
+    pyr, (ow, oh) = dbase.cached_image_pyramid(img, (32, 24))
+    assert (ow, oh) == (64, 48)
+    from PIL import Image
+
+    fresh = image_pyramid(Image.open(img), (32, 24))
+    for k in fresh:
+        np.testing.assert_array_equal(pyr[k], fresh[k])
+    assert not pyr["level_0"].flags.writeable   # read-only by contract
+
+    pyr2, _ = dbase.cached_image_pyramid(img, (32, 24))
+    assert cache.hits == 1 and cache.misses == 1
+    assert pyr2["level_1"] is pyr["level_1"]    # same entry, no redecode
+
+    # Different target size is a different entry.
+    dbase.cached_image_pyramid(img, (16, 12))
+    assert cache.misses == 2
+
+    # Through a real eval dataset: sample 0 and sample 1 share views.
+    from itermvs_tpu.data import find_dataset_def
+
+    (tmp_path / "list.txt").write_text("scan1\n")
+    write_pair_file(str(scan / "pair.txt"),
+                    [(0, [(1, 1.0), (2, 1.0)]), (1, [(0, 1.0), (2, 1.0)]),
+                     (2, [(0, 1.0), (1, 1.0)])])
+    ds = find_dataset_def("dtu_yao_eval")(
+        str(tmp_path), str(tmp_path / "list.txt"), nviews=3, img_wh=(32, 24))
+    before = cache.misses
+    ds[0]
+    ds[1]
+    # image 0 was cached above; images 1 and 2 are the only new decodes
+    # across both samples (6 views served).
+    assert cache.misses - before == 2
+    assert cache.hits >= 4                      # views re-served from cache
+
+    # Disabled cache (cap 0) still decodes correctly, stores nothing.
+    empty = _PyramidCache(0)
+    monkeypatch.setattr(dbase, "_pyramid_cache", empty)
+    pyr3, _ = dbase.cached_image_pyramid(img, (32, 24))
+    np.testing.assert_array_equal(pyr3["level_0"], fresh["level_0"])
+    assert len(empty.data) == 0
