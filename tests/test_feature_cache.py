@@ -97,16 +97,19 @@ def test_prepacked_banded_sources(small_setup, monkeypatch):
                             method=Pipeline.extract) for i in range(v)]
 
     # level1 at 96×128 is 48·64 = 3072 rows → over the limit; level2
-    # (768) and level3 (192) stay under → PackedSource. With superpixel
-    # packing on (the default) the over-limit level arrives as a
-    # SuperpixelSource; with it off, as row bands — both mixed pytrees
-    # must cross the prepack→cache→match jit boundaries and reproduce
-    # the monolithic forward.
-    monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", 1000)
+    # (768) and level3 (192) stay under → PackedSource. With the limit
+    # at 1000 the over-limit level arrives as a SuperpixelSource (pair
+    # table 1536 rows doesn't fit) or, with superpixel off, as row
+    # bands; with the limit at 2000 it arrives as a PairSource. All
+    # three mixed pytrees must cross the prepack→cache→match jit
+    # boundaries and reproduce the monolithic forward.
     from itermvs_tpu.ops.warping import pack_bilinear
-    for superpixel in (True, False):
+    for superpixel, limit, kind in (
+            (True, 1000, gs.SuperpixelSource),
+            (True, 2000, gs.PairSource),
+            (False, 1000, gs.BandedSource)):
+        monkeypatch.setattr(gs, "FAST_GATHER_MAX_ROWS", limit)
         monkeypatch.setattr(gs, "SUPERPIXEL_PACKING", superpixel)
-        kind = gs.SuperpixelSource if superpixel else gs.BandedSource
         prepack = jax.jit(
             lambda f: {k: pack_bilinear(x) for k, x in f.items()})
         packed_views = [prepack(f) for f in per_view[1:]]
