@@ -136,15 +136,10 @@ def _throughput_cached(model, variables, width, height, views, iters=12):
     recomputes all `views` feature maps per map.
     """
     import jax
-    from itermvs_tpu.models import Pipeline
-    from itermvs_tpu.ops.warping import pack_bilinear
+    from itermvs_tpu.models.pipeline import cached_path_jits
 
     imgs, projs, dmin, dmax = _bench_inputs(1, views, height, width)
-    extract = jax.jit(lambda x: model.apply(variables, x,
-                                            method=Pipeline.extract))
-    prepack = jax.jit(lambda f: {k: pack_bilinear(v) for k, v in f.items()})
-    match = jax.jit(lambda f, p, lo, hi: model.apply(
-        variables, f, p, lo, hi, method=Pipeline.match))
+    extract, prepack, match = cached_path_jits(model, variables)
     img0 = imgs["level_0"][:, 0]
 
     def extract_packed():
@@ -237,16 +232,9 @@ def _cached_forward_fn(model, variables):
     kernels eval.py's default pipeline runs. LRU reuse across maps
     cannot change values (features are a pure per-view function), so
     this is the right subject for the cached-path quality canary."""
-    import jax
-    import jax.numpy as jnp
-    from itermvs_tpu.models import Pipeline
-    from itermvs_tpu.ops.warping import pack_bilinear
+    from itermvs_tpu.models.pipeline import cached_path_jits
 
-    extract = jax.jit(lambda x: model.apply(variables, x,
-                                            method=Pipeline.extract))
-    prepack = jax.jit(lambda f: {k: pack_bilinear(v) for k, v in f.items()})
-    match = jax.jit(lambda f, p, lo, hi: model.apply(
-        variables, f, p, lo, hi, method=Pipeline.match))
+    extract, prepack, match = cached_path_jits(model, variables)
 
     def forward(imgs, projs, dmin, dmax):
         level0 = imgs["level_0"]                       # [1, V, H, W, 3]
@@ -280,9 +268,18 @@ def _eval_e2e(ckpt, width=1152, height=864, views=10, n_views=5):
     try:
         build_scene_dir(root, num_views=views, width=width, height=height,
                         write_gt_depth=False)
+        from itermvs_tpu.data.base import clear_decode_cache
+
         out = {}
         steady = None
         for attempt in ("warm", "timed"):
+            # Start each pass decode-cold: the warm pass exists to warm
+            # the jit/compile caches, but it also fills the process-wide
+            # decode LRU (data/base.py) — left in place, the timed pass
+            # would serve every pyramid from memory and overstate the
+            # rate a real first-scan eval (which decodes as it goes,
+            # with LRU reuse only WITHIN the scan) actually gets.
+            clear_decode_cache()
             outdir = os.path.join(root, f"out_{attempt}")
             argv = ["--dataset=custom", "--batch_size=1",
                     "--n_views", str(n_views), f"--testpath={root}",

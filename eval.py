@@ -37,7 +37,10 @@ parser.add_argument("--testlist", help="testing scan list")
 parser.add_argument("--split", default="intermediate", help="select data")
 parser.add_argument("--batch_size", type=int, default=1, help="testing batch size")
 parser.add_argument("--n_views", type=int, default=5, help="num of view")
-parser.add_argument("--img_wh", nargs="+", type=int, default=[640, 480],
+# default=None is a presence sentinel (resolve_img_wh falls back to the
+# reference's [640, 480], eval.py:31) so an explicitly passed flag can
+# be told apart from the default even when their values coincide.
+parser.add_argument("--img_wh", nargs="+", type=int, default=None,
                     help="height and width of the image")
 parser.add_argument("--loadckpt", default=None, help="load a specific checkpoint")
 parser.add_argument("--outdir", default="./outputs", help="output dir")
@@ -104,8 +107,9 @@ def resolve_img_wh(args):
     # On the datasets that honor --img_wh (custom), an explicitly
     # passed flag beats a (possibly stale) env var; for the named
     # datasets the env var replaces the pinned published sizes.
-    explicit_wh = (args.img_wh != parser.get_default("img_wh")
-                   and args.dataset == "custom")
+    explicit_wh = args.img_wh is not None and args.dataset == "custom"
+    if args.img_wh is None:
+        args.img_wh = [640, 480]
     if override and not explicit_wh:
         try:
             w, h = (int(x) for x in override.lower().replace("x", " ").split())
@@ -246,20 +250,15 @@ def save_depth(args, img_wh):
     if use_cache:
         from collections import OrderedDict
 
-        from itermvs_tpu.ops.warping import pack_bilinear
+        from itermvs_tpu.models.pipeline import cached_path_jits
 
-        extract = jax.jit(lambda x: model.apply(variables, x,
-                                                method=Pipeline.extract))
         # Corner-packed gather tables are a pure function of a view's
         # features, reused by every map the view serves as a source —
         # pack ONCE per (scan, view) here instead of per map inside
         # match (rebuilding ~100 MB of identical tables per map at DTU
         # eval resolution). IterMVS accepts the pre-packed sources
         # as-is (models/itermvs.py:_pack).
-        prepack = jax.jit(
-            lambda f: {k: pack_bilinear(v) for k, v in f.items()})
-        match = jax.jit(lambda f, p, lo, hi: model.apply(
-            variables, f, p, lo, hi, method=Pipeline.match))
+        extract, prepack, match = cached_path_jits(model, variables)
         feature_cache: OrderedDict = OrderedDict()
 
         def forward_cached(sample, projs, dmin, dmax):

@@ -89,6 +89,21 @@ class _PyramidCache:
         self.hits = 0
         self.misses = 0
 
+    def clear(self):
+        with self.lock:
+            self.data.clear()
+            self.size = 0
+
+    def set_cap(self, cap_mb: float):
+        """Resize capacity (evicting LRU entries if over the new cap) —
+        used by process-pool loader workers to split the configured
+        budget across workers instead of multiplying it."""
+        with self.lock:
+            self.cap = cap_mb * 1e6
+            while self.size > self.cap and len(self.data) > 1:
+                _, (old, _) = self.data.popitem(last=False)
+                self.size -= sum(a.nbytes for a in old.values())
+
     def get(self, path, img_wh, uint8_level0: bool):
         """(pyramid dict, original (w, h)) for an image file."""
         st = os.stat(path)
@@ -132,6 +147,21 @@ def cached_image_pyramid(path, img_wh, uint8_level0: bool = False):
 
     Returns (pyramid dict of read-only arrays, original (w, h))."""
     return _pyramid_cache.get(path, img_wh, uint8_level0)
+
+
+def clear_decode_cache():
+    """Drop all cached pyramids (bench uses this so a timed eval pass
+    starts decode-cold, like a real first-scan eval)."""
+    _pyramid_cache.clear()
+
+
+def split_decode_cache_cap(workers: int):
+    """Shrink THIS process's decode-cache cap to 1/workers of the
+    configured budget — called in each process-pool loader worker so
+    the aggregate across workers stays within ITERMVS_DECODE_CACHE_MB."""
+    _pyramid_cache.set_cap(
+        float(os.environ.get("ITERMVS_DECODE_CACHE_MB", "256"))
+        / max(1, workers))
 
 
 def nearest_pyramid(arr: np.ndarray) -> dict:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import collections
 import multiprocessing
 import queue
+import sys
 import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
@@ -28,11 +29,16 @@ import numpy as np
 _WORKER_DATASET = None
 
 
-def _init_worker(dataset, epoch):
+def _init_worker(dataset, epoch, n_workers):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
     if hasattr(dataset, "set_epoch"):
         dataset.set_epoch(epoch)
+    # Each forked worker holds its own decode LRU; split the configured
+    # budget so the aggregate stays at ITERMVS_DECODE_CACHE_MB.
+    from itermvs_tpu.data.base import split_decode_cache_cap
+
+    split_decode_cache_cap(n_workers)
 
 
 def _worker_get(idx):
@@ -90,10 +96,12 @@ class DataLoader:
         # identical samples to thread mode since per-item RNG is a pure
         # function of (seed, epoch, idx), data/base.py:item_rng).
         self.worker_processes = int(worker_processes)
-        if self.worker_processes > 0 and "fork" not in (
-                multiprocessing.get_all_start_methods()):
-            # No fork (non-POSIX): spawn would re-import __main__ (the
-            # CLIs run work at module scope) — fall back to threads.
+        if self.worker_processes > 0 and sys.platform != "linux":
+            # Fork is only safe on Linux: by first __iter__ the parent
+            # already holds live threads (writer pools, PJRT) and on
+            # macOS fork()+PIL/cv2 after Objective-C runtime init
+            # aborts; spawn would re-import __main__ (the CLIs run work
+            # at module scope) — fall back to threads elsewhere.
             self.worker_processes = 0
         self._epoch = 0
         self._skip = 0
@@ -152,7 +160,8 @@ class DataLoader:
             pool = ProcessPoolExecutor(
                 max_workers=self.worker_processes,
                 mp_context=multiprocessing.get_context("fork"),
-                initializer=_init_worker, initargs=(self.dataset, epoch))
+                initializer=_init_worker,
+                initargs=(self.dataset, epoch, self.worker_processes))
             get = _worker_get
         else:
             pool = ThreadPoolExecutor(max_workers=self.num_workers)

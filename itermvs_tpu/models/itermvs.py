@@ -125,7 +125,9 @@ def chunked_warp_corr(packed, ref, flat_idx, taps, shape, groups):
     n, h, w, c = shape
     b = flat_idx.shape[0]
     hw = h * w
-    chunk = max(1, min(n, FAST_GATHER_MAX_ROWS // hw))
+    # Budget counts EMITTED rows, so the batch dimension participates:
+    # a gather over [B, chunk·H·W] indices emits B·chunk·H·W rows.
+    chunk = max(1, min(n, FAST_GATHER_MAX_ROWS // (b * hw)))
     outs = []
     for s0 in range(0, n, chunk):
         s1 = min(s0 + chunk, n)

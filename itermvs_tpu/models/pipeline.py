@@ -130,3 +130,28 @@ class Pipeline(nn.Module):
         features = {key: fea.reshape(b, v, *fea.shape[1:])
                     for key, fea in flat.items()}
         return self.match(features, proj_matrices, depth_min, depth_max)
+
+
+def cached_path_jits(model: Pipeline, variables):
+    """The feature-cached eval compute path as three jitted closures:
+
+      extract(imgs [B,H,W,3])        → per-view feature pyramid
+      prepack(features)              → corner-packed gather tables
+                                       (pure per-view, reused by every
+                                       map the view serves as a source)
+      match((ref, *packed_srcs), proj, dmin, dmax) → model outputs
+
+    Single source of truth for the cached construction: eval.py's
+    --feature_cache pipeline and bench.py's cached-throughput and
+    quality-canary stages all call this, so the benchmarked/scored path
+    cannot silently diverge from the one eval.py actually runs."""
+    import jax
+
+    from itermvs_tpu.ops.warping import pack_bilinear
+
+    extract = jax.jit(lambda x: model.apply(variables, x,
+                                            method=Pipeline.extract))
+    prepack = jax.jit(lambda f: {k: pack_bilinear(v) for k, v in f.items()})
+    match = jax.jit(lambda f, p, lo, hi: model.apply(
+        variables, f, p, lo, hi, method=Pipeline.match))
+    return extract, prepack, match

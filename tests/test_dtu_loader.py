@@ -138,3 +138,44 @@ def test_process_loader_matches_threaded(tmp_path):
                 np.testing.assert_array_equal(va, bb[key][lvl])
         np.testing.assert_array_equal(ba["depth_min"], bb["depth_min"])
         np.testing.assert_array_equal(ba["depth_max"], bb["depth_max"])
+
+
+def test_decode_cache_clear_and_cap_split(tmp_path):
+    """The eval decode LRU supports bench's decode-cold reset and the
+    process-pool workers' cap split (aggregate across N workers stays
+    within ITERMVS_DECODE_CACHE_MB, data/loader.py:_init_worker)."""
+    from PIL import Image
+
+    from itermvs_tpu.data import base
+
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(
+            rng.randint(0, 255, (64, 80, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+
+    cache = base._pyramid_cache
+    old_cap = cache.cap
+    try:
+        base.clear_decode_cache()
+        cache.set_cap(1e6 / 1e6 * 4)          # 4 MB: holds all 4 pyramids
+        for p in paths:
+            base.cached_image_pyramid(p, (80, 64))
+        assert len(cache.data) == 4
+        h0, m0 = cache.hits, cache.misses
+        base.cached_image_pyramid(paths[0], (80, 64))
+        assert cache.hits == h0 + 1 and cache.misses == m0
+
+        one = sum(a.nbytes for a in cache.data[next(iter(cache.data))][0]
+                  .values())
+        cache.set_cap(2.5 * one / 1e6)        # shrink → LRU eviction
+        assert len(cache.data) == 2
+        assert cache.size <= cache.cap
+
+        base.clear_decode_cache()
+        assert len(cache.data) == 0 and cache.size == 0
+    finally:
+        cache.set_cap(old_cap / 1e6)
+        base.clear_decode_cache()

@@ -507,3 +507,39 @@ def test_chunked_warp_corr_matches_single_chunk(rng, monkeypatch):
                                   (n, h, w, c), m.GROUPS)
     assert single.shape == chunked.shape == (b, n, h, w, m.GROUPS)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
+
+
+def test_chunked_warp_corr_row_budget_counts_batch(rng, monkeypatch):
+    """The chunk size must bound EMITTED rows b*chunk*h*w, not
+    chunk*h*w: a batch-4 training sweep that sized chunks per-sample
+    would emit 4x the budget per gather and lose the epilogue fusion
+    chunking exists to keep (models/itermvs.py:chunked_warp_corr)."""
+    from itermvs_tpu.models import itermvs as m
+    from itermvs_tpu.ops.grid_sample import pack_corners
+
+    b, n, h, w, c = 3, 8, 8, 8, 16
+    h1, w1 = 16, 16
+    hw = h * w
+    src = jnp.asarray(rng.rand(b, h1, w1, c).astype(np.float32))
+    ref = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    packed = pack_corners(src)
+    flat_idx = jnp.asarray(
+        rng.randint(0, h1 * w1, size=(b, n, hw)).astype(np.int32))
+    taps = [jnp.asarray(rng.rand(b, n, hw).astype(np.float32))
+            for _ in range(4)]
+
+    limit = 4 * b * hw          # fits 4 samples ACROSS the batch
+    monkeypatch.setattr(m, "FAST_GATHER_MAX_ROWS", limit)
+    real_gather = m.gather_corners
+    seen = []
+
+    def spy(packed_, idx, *tap_args):
+        seen.append(idx.shape[0] * idx.shape[1])
+        return real_gather(packed_, idx, *tap_args)
+
+    monkeypatch.setattr(m, "gather_corners", spy)
+    out = m.chunked_warp_corr(packed, ref, flat_idx, taps,
+                              (n, h, w, c), m.GROUPS)
+    assert out.shape == (b, n, h, w, m.GROUPS)
+    assert seen and all(rows <= limit for rows in seen), seen
+    assert len(seen) == 2       # 8 samples / 4-per-chunk
