@@ -68,6 +68,15 @@ parser.add_argument("--input_uint8", action="store_true",
                          "host->device bytes; exact when images are already "
                          "at the eval size — else the resize runs in uint8, "
                          "±0.5/255 vs the float32 path)")
+parser.add_argument("--result_wire", default="uint16",
+                    choices=["uint16", "float32"],
+                    help="device->host transport for depth/confidence maps: "
+                         "uint16 quantizes each map against its own range on "
+                         "device (half the fetched bytes; error bounded by "
+                         "depth span/131070 ~ 0.004 mm at DTU ranges and "
+                         "8e-6 confidence — orders of magnitude under every "
+                         "fusion/scoring threshold), float32 fetches raw "
+                         "model outputs")
 parser.add_argument("--scan_shard", default=None, metavar="I/N",
                     help="process only every N-th scan starting at I "
                          "(0-based), e.g. 0/4 .. 3/4: scan-level "
@@ -184,6 +193,39 @@ def build_dataset(args, img_wh):
     return MVSDataset(args.testpath, args.n_views, img_wh, uint8_level0=u8)
 
 
+def quantize_results(depths, confs):
+    """uint16 result wire, device side (jit this): [B,H,W,1] f32 depth +
+    confidence → (depth_q uint16, lo [B], hi [B], conf_q uint16).
+
+    Each depth map is quantized against its OWN [min, max] range;
+    confidence is sigmoid output in [0,1] so it uses the fixed 1/65535
+    grid. Halves the device→host fetch — the end-to-end eval bottleneck
+    on slow-link hosts (docs/PERFORMANCE.md "eval.py end to end") — with
+    round-to-nearest error ≤ span/131070 (~0.004 mm at DTU depth ranges,
+    two orders of magnitude under the 1 px / 1% geometric consistency
+    thresholds, reference eval.py:194-209) and ≤ 7.7e-6 confidence error
+    vs the 0.3 photometric threshold. Same scheme as fusion.py's wire.
+    """
+    d = depths[..., 0]
+    c = confs[..., 0]
+    lo = jnp.min(d, axis=(1, 2))
+    hi = jnp.max(d, axis=(1, 2))
+    span = jnp.maximum(hi - lo, 1e-6)[:, None, None]
+    depth_q = jnp.clip(jnp.round((d - lo[:, None, None]) * (65535.0 / span)),
+                       0, 65535).astype(jnp.uint16)
+    conf_q = jnp.clip(jnp.round(c * 65535.0), 0, 65535).astype(jnp.uint16)
+    return depth_q, lo, hi, conf_q
+
+
+def dequantize_results(depth_q, lo, hi, conf_q):
+    """Host-side inverse of `quantize_results` (NumPy, float32)."""
+    step = ((hi - lo).astype(np.float32) / np.float32(65535.0))[:, None, None]
+    depths = (lo.astype(np.float32)[:, None, None]
+              + depth_q.astype(np.float32) * step)
+    confs = conf_q.astype(np.float32) / np.float32(65535.0)
+    return depths, confs
+
+
 def _write_outputs(outdir, filename, depth_est, confidence):
     depth_path = os.path.join(outdir, filename.format("depth_est", ".pfm"))
     conf_path = os.path.join(outdir, filename.format("confidence", ".pfm"))
@@ -288,6 +330,8 @@ def save_depth(args, img_wh):
 
     writer_pool = ThreadPoolExecutor(max_workers=2)
     write_futures = []
+    to_wire = (jax.jit(quantize_results)
+               if args.result_wire == "uint16" else None)
 
     def dispatch(sample):
         """Host→device upload + async forward launch for one batch."""
@@ -307,14 +351,20 @@ def save_depth(args, img_wh):
             imgs = {k: jnp.asarray(_pad(v, pad) if pad else v)
                     for k, v in sample["imgs"].items() if k == "level_0"}
             depths, confs = forward(imgs, projs, dmin, dmax)
-        return sample, n_real, depths, confs
+        wire = to_wire(depths, confs) if to_wire else (depths, confs)
+        return sample, n_real, wire
 
     batch_secs = []
 
-    def finalize(batch_idx, start, sample, n_real, depths, confs):
+    def finalize(batch_idx, start, sample, n_real, wire):
         """Device→host fetch + PFM writer handoff for one batch."""
-        depths = np.asarray(depths)[:n_real, ..., 0]
-        confs = np.asarray(confs)[:n_real, ..., 0]
+        if to_wire:
+            depth_q, lo, hi, conf_q = (np.asarray(x)[:n_real] for x in wire)
+            depths, confs = dequantize_results(depth_q, lo, hi, conf_q)
+        else:
+            depths, confs = wire
+            depths = np.asarray(depths)[:n_real, ..., 0]
+            confs = np.asarray(confs)[:n_real, ..., 0]
         batch_secs.append(time.time() - start)
         print(f"Iter {batch_idx}/{total}, time = {batch_secs[-1]:.3f}")
 

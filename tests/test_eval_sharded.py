@@ -36,6 +36,10 @@ def test_eval_cli_sharded_8dev(tmp_path):
         [sys.executable, os.path.join(repo, "eval.py"),
          "--dataset=custom", "--batch_size=8", "--n_views", "4",
          "--img_wh", "128", "96", f"--testpath={scene}",
+         # float32 wire keeps the unquantized fetch branch e2e-covered
+         # (the default uint16 wire is exercised by test_e2e_eval and
+         # test_scan_shard_e2e).
+         "--result_wire", "float32",
          f"--outdir={out}", "--loadckpt", CKPT],
         capture_output=True, text=True, cwd=repo, env=env, timeout=1200)
     assert result.returncode == 0, result.stderr[-3000:]
