@@ -352,6 +352,15 @@ def save_depth(args, img_wh):
                     for k, v in sample["imgs"].items() if k == "level_0"}
             depths, confs = forward(imgs, projs, dmin, dmax)
         wire = to_wire(depths, confs) if to_wire else (depths, confs)
+        # Start the device→host copies NOW (they run as soon as the
+        # async computation finishes, overlapping the next batch's host
+        # work) instead of paying one blocking round trip per array at
+        # finalize time — on tunnel transports each sync costs ~26 ms.
+        for x in wire:
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass
         return sample, n_real, wire
 
     batch_secs = []
