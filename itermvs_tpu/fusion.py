@@ -347,6 +347,16 @@ def filter_depth(scan_folder, out_folder, plyfilename, geo_pixel_thres=1.0,
             photo_thres=float(photo_thres),
             geo_mask_thres=int(geo_mask_thres),
         )
+        # Start the device→host copies now: they run as soon as the
+        # async kernel finishes and overlap the NEXT view's host prep +
+        # dispatch, instead of paying one blocking round trip per array
+        # in fetch (4 arrays/view; ~26 ms/sync on tunnel transports —
+        # same scheme as eval.py's result wire).
+        for x in out:
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass
         return ref_view, ref, out
 
     def fetch(out):
